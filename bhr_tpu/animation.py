@@ -1,0 +1,184 @@
+"""Animation: fused multi-frame rendering with zero host round-trips.
+
+The analog of the reference's windowed animation loop (reference:
+src/main.rs:264-1147): an orbiting camera (angle = t * 0.3 rad/s, radius 15,
+height 5, looking at the origin — main.rs:851-869) rendered frame after
+frame. Where the reference round-trips the host every frame (uniform writes,
+blocking timestamp readback — main.rs:887-921), here N frames are fused into
+one `lax.scan` whose carry never leaves the device; the host sees pixels
+only at chunk boundaries, where the native async PNG writer picks them up.
+
+The animation is a pure function of frame index, so it is deterministic and
+resumable: render_frames(start_frame=k) continues an interrupted run
+bit-exactly (SURVEY.md §5 checkpoint/resume note).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.camera import orbit_camera
+from .models.disk import DiskParams
+from .renderer import BlackHoleRenderer, render_image
+
+# App-mode animation uses max_steps=200 (reference: src/main.rs:878).
+APP_MAX_STEPS = 200
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "use_pallas",
+        "tile",
+        "fast_math",
+        "tonemap",
+        "interpret",
+    ),
+)
+def render_frames_scan(
+    times,
+    scene,
+    skybox,
+    disk_params,
+    lut,
+    orbit,
+    *,
+    config,
+    use_pallas,
+    tile,
+    fast_math,
+    tonemap,
+    interpret,
+):
+    """Render frames at `times` (fp32[F]) in one fused lax.scan.
+
+    `orbit` is (rotation_speed, radius, height) as traced scalars. Returns
+    uint8 (F, H, W, 4) — all frames rendered on device with no host sync.
+    """
+    speed, radius, height = orbit
+
+    def step(carry, t):
+        cam = orbit_camera(t, radius=radius, height=height, rotation_speed=speed)
+        frame = render_image(
+            cam,
+            scene,
+            skybox,
+            disk_params,
+            lut,
+            config=config,
+            use_pallas=use_pallas,
+            tile=tile,
+            fast_math=fast_math,
+            tonemap=tonemap,
+            interpret=interpret,
+        )
+        return carry, frame
+
+    _, frames = jax.lax.scan(step, 0, times)
+    return frames
+
+
+class OrbitAnimator:
+    """Orbiting-camera animation driver around a BlackHoleRenderer."""
+
+    def __init__(
+        self,
+        renderer: BlackHoleRenderer,
+        rotation_speed: float = 0.3,  # main.rs:853
+        radius: float = 15.0,  # main.rs:854
+        height: float = 5.0,  # main.rs:855
+    ):
+        self.renderer = renderer
+        self.rotation_speed = rotation_speed
+        self.radius = radius
+        self.height = height
+
+    def frame_times(self, n_frames: int, fps: float = 60.0, start_frame: int = 0):
+        idx = jnp.arange(start_frame, start_frame + n_frames, dtype=jnp.float32)
+        return idx / jnp.float32(fps)
+
+    def render_frames(
+        self,
+        n_frames: int,
+        fps: float = 60.0,
+        start_frame: int = 0,
+        scene=None,
+    ) -> jnp.ndarray:
+        """All frames fused in one scan -> uint8 (F, H, W, 4) device array."""
+        r = self.renderer
+        scene = scene if scene is not None else r.scene
+        disk_params = (
+            DiskParams.for_scene(scene.schwarzschild_radius) if r.config.disk else None
+        )
+        orbit = (
+            jnp.float32(self.rotation_speed),
+            jnp.float32(self.radius),
+            jnp.float32(self.height),
+        )
+        return render_frames_scan(
+            self.frame_times(n_frames, fps, start_frame),
+            scene,
+            r.skybox,
+            disk_params,
+            r._lut,
+            orbit,
+            config=r.config,
+            use_pallas=r.use_pallas,
+            tile=r.tile,
+            fast_math=r.fast_math,
+            tonemap=r.tonemap,
+            interpret=r.interpret,
+        )
+
+    def render_to_dir(
+        self,
+        out_dir: str,
+        n_frames: int,
+        fps: float = 60.0,
+        start_frame: int = 0,
+        chunk_size: int = 16,
+        scene=None,
+    ) -> list[str]:
+        """Chunked render -> PNG sequence via the native async writer.
+
+        Frames land as frame_{index:05d}.png; resumable by start_frame.
+        """
+        from .io import native
+
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        done = 0
+        while done < n_frames:
+            n = min(chunk_size, n_frames - done)
+            frames = self.render_frames(n, fps, start_frame + done, scene)
+            host = np.asarray(jax.device_get(frames))
+            for k in range(n):
+                idx = start_frame + done + k
+                path = os.path.join(out_dir, f"frame_{idx:05d}.png")
+                native.submit_frame(path, host[k])
+                paths.append(path)
+            done += n
+        failures = native.drain()
+        if failures:
+            raise IOError(f"{failures} frame write(s) failed under {out_dir}")
+        return paths
+
+    def save_gif(self, path: str, n_frames: int, fps: float = 60.0, scene=None):
+        """Small-animation convenience (PIL; no ffmpeg in the image)."""
+        from PIL import Image
+
+        frames = np.asarray(jax.device_get(self.render_frames(n_frames, fps, 0, scene)))
+        imgs = [Image.fromarray(f, "RGBA").convert("P") for f in frames]
+        imgs[0].save(
+            path,
+            save_all=True,
+            append_images=imgs[1:],
+            duration=int(1000.0 / fps),
+            loop=0,
+        )

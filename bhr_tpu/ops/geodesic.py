@@ -1,0 +1,99 @@
+"""Geodesic integrators: semi-implicit Euler (reference parity), RK4, and
+adaptive step sizing.
+
+Euler matches the reference shader exactly (reference:
+src/ray_tracer_euler.wgsl:51-90). RK4 and adaptive stepping implement what
+the reference roadmap planned (reference: docs/ROADMAP.md:155-231): classic
+RK4 on the state (pos, vel) and dt(r) = base_dt * clamp((r - rs) * k, 0.01, 1).
+
+All functions are shape-polymorphic over leading batch dims: `rel`/`vel` are
+(..., 3) and `r`/`rs`/`spin`/`dt` broadcast over (...,). They are pure jnp
+and are reused verbatim inside both the XLA oracle path and the Pallas
+kernel (which calls them on (TH, TW, 3)-shaped register tiles).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models import flat, kerr, schwarzschild
+
+MODELS = {
+    "schwarzschild": schwarzschild,
+    "kerr": kerr,
+    "flat": flat,
+}
+
+INTEGRATORS = ("euler", "rk4")
+
+
+def model_acceleration(model: str):
+    """Unified accel(rel, vel, r, rs, spin) for a named spacetime model."""
+    if model == "schwarzschild":
+        return lambda rel, vel, r, rs, spin: schwarzschild.acceleration(rel, vel, r, rs)
+    if model == "kerr":
+        return kerr.acceleration
+    if model == "flat":
+        return flat.acceleration
+    raise ValueError(f"unknown spacetime model {model!r}; have {sorted(MODELS)}")
+
+
+def model_capture_radius(model: str, rs, spin):
+    return MODELS[model].capture_radius(rs, spin)
+
+
+def euler_step(accel_fn, rel, vel, r, rs, spin, dt):
+    """Semi-implicit (symplectic) Euler step (reference: wgsl:80-85).
+
+    v' = v + a(p, v) dt ; p' = p + v' dt  — the position update uses the
+    *new* velocity, matching the shader's order exactly.
+    """
+    a = accel_fn(rel, vel, r, rs, spin)
+    dt = _bcast_dt(dt, rel)
+    new_vel = vel + a * dt
+    new_rel = rel + new_vel * dt
+    return new_rel, new_vel
+
+
+def rk4_step(accel_fn, rel, vel, r, rs, spin, dt):
+    """Classic RK4 on state (pos, vel) (reference: docs/ROADMAP.md:169-176).
+
+    d(pos)/dl = vel, d(vel)/dl = accel(pos, vel). Substep radii are guarded
+    away from the coordinate singularity at r = rs.
+    """
+    del r  # recomputed per substep
+    dt = _bcast_dt(dt, rel)
+    rs_arr = jnp.asarray(rs, jnp.float32)
+
+    def deriv(p, v):
+        rr = jnp.sqrt(jnp.sum(p * p, axis=-1))
+        rr = jnp.maximum(rr, 1.0001 * jnp.maximum(rs_arr, 1e-6))
+        return v, accel_fn(p, v, rr, rs, spin)
+
+    k1p, k1v = deriv(rel, vel)
+    k2p, k2v = deriv(rel + 0.5 * dt * k1p, vel + 0.5 * dt * k1v)
+    k3p, k3v = deriv(rel + 0.5 * dt * k2p, vel + 0.5 * dt * k2v)
+    k4p, k4v = deriv(rel + dt * k3p, vel + dt * k3v)
+    sixth = dt * (1.0 / 6.0)
+    new_rel = rel + sixth * (k1p + 2.0 * k2p + 2.0 * k3p + k4p)
+    new_vel = vel + sixth * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+    return new_rel, new_vel
+
+
+STEP_FNS = {"euler": euler_step, "rk4": rk4_step}
+
+
+def adaptive_dt(r, rs, base_dt, k=0.1, lo=0.01, hi=1.0):
+    """Distance-scaled step size (reference: docs/ROADMAP.md:195-201).
+
+    dt = base_dt * clamp((r - rs) * k, lo, hi): small careful steps near the
+    horizon, long strides far away.
+    """
+    return base_dt * jnp.clip((r - rs) * k, lo, hi)
+
+
+def _bcast_dt(dt, rel):
+    dt = jnp.asarray(dt, jnp.float32)
+    if dt.ndim == rel.ndim - 1:
+        dt = dt[..., None]
+    return dt

@@ -1,0 +1,458 @@
+"""Pallas TPU kernel for the geodesic ray-trace.
+
+The performance path of the renderer: the TPU-native replacement for the
+reference's WGSL compute shader (reference: src/ray_tracer_euler.wgsl:173-215
+dispatched in 8x8 workgroups, src/lib.rs:584-586). Design (SURVEY.md §7.4):
+
+  * grid over pixel tiles sized for the VPU (default (8, 256) fp32 vregs),
+    the analog of the shader's 8x8 workgroups;
+  * ray state held as separate (TH, TW) component planes ("struct of
+    arrays") so every op is a full-width VPU instruction;
+  * the per-ray `for { break }` loop becomes one masked `lax.while_loop`
+    per tile with an all-done early exit — tiles fully inside the shadow
+    or fully escaped stop integrating immediately;
+  * no HBM traffic in the hot loop: ray-gen happens in-kernel from
+    program_id, and the skybox gather runs as fused XLA *after* the kernel
+    on the escape directions (wgsl samples mid-kernel; on TPU that would
+    serialize a gather against the VPU loop).
+
+Numerics: fp32 throughout, same operation order as ops/trace.py (the XLA
+oracle), which itself mirrors the WGSL. `fast_math=True` swaps IEEE
+sqrt/divide for rsqrt/reciprocal approximations in the hot loop.
+
+Outputs per pixel: final position (3 planes), final unit velocity
+(3 planes), status code, steps taken — shading happens downstream
+(ops/shading.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .trace import (
+    STATUS_CAPTURED,
+    STATUS_DISK,
+    STATUS_ESCAPED,
+    STATUS_RUNNING,
+    TraceConfig,
+    TraceResult,
+)
+
+DEFAULT_TILE = (8, 256)
+
+# params vector layout (fp32[32], SMEM)
+_P_CAM = 0  # 0:3 camera position
+_P_FWD = 3  # 3:6 forward
+_P_RIGHT = 6  # 6:9 right
+_P_UP = 9  # 9:12 up
+_P_BH = 12  # 12:15 black hole position
+_P_RS = 15
+_P_FOVF = 16  # tan(fov / 2)
+_P_SPIN = 17
+_P_DT = 18
+_P_ESC = 19  # escape radius
+_P_CAP = 20  # capture radius
+_P_RISCO = 21
+_P_ROUTER = 22
+_P_WF = 23  # float(width) — FULL image width (for ray-gen UVs)
+_P_HF = 24  # float(height) — FULL image height
+_P_ASPECT = 25
+_P_ROW0 = 26  # first global pixel row of this shard (0 on a single device)
+_P_COL0 = 27  # first global pixel column of this shard
+_P_SIZE = 32
+
+
+# ---- tuple-vec3 helpers over (TH, TW) planes -------------------------------
+
+
+def _vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _vscale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _vaxpy(a, b, s):  # a + b * s
+    return (a[0] + b[0] * s, a[1] + b[1] * s, a[2] + b[2] * s)
+
+
+def _vwhere(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def _vcross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def build_kernel(config: TraceConfig, max_steps: int, tile, fast_math: bool):
+    """Construct the trace kernel for a static configuration."""
+    th, tw = tile
+
+    if fast_math:
+
+        def _vnorm(v):  # approximate: v * rsqrt(v.v)
+            return _vscale(v, jax.lax.rsqrt(_vdot(v, v)))
+
+        def _recip(x):
+            return pl.reciprocal(x, approx=True)
+
+    else:
+
+        def _vnorm(v):  # IEEE divisions — bit-parity with oracle's v / sqrt(v.v)
+            s = jnp.sqrt(_vdot(v, v))
+            return (v[0] / s, v[1] / s, v[2] / s)
+
+        def _recip(x):
+            return 1.0 / x
+
+    def accel(rel, vel, r, r2, rs, spin):
+        """Spacetime acceleration on component planes.
+
+        Mirrors models/schwarzschild.py `acceleration` (reference wgsl:69-79)
+        and models/kerr.py frame dragging; arithmetic order kept identical to
+        the oracle for parity.
+        """
+        if fast_math:
+            inv_r = _recip(r)
+            r_vec = _vscale(rel, inv_r)
+            rs_over_r = rs * inv_r
+            one_m = 1.0 - rs_over_r
+            factor = rs * _recip(2.0 * r2 * one_m)
+        else:
+            # literal divisions — bit-parity with the oracle / wgsl:70-74
+            inv_r = 1.0 / r
+            r_vec = (rel[0] / r, rel[1] / r, rel[2] / r)
+            rs_over_r = rs / r
+            one_m = 1.0 - rs_over_r
+            factor = rs / (2.0 * r * r * one_m)  # r*r of the sqrt'd r (wgsl:74)
+        v_rad = _vdot(vel, r_vec)
+        one_p = 1.0 + rs_over_r
+        ax = (
+            -factor * (vel[0] * one_m - r_vec[0] * v_rad * one_p),
+            -factor * (vel[1] * one_m - r_vec[1] * v_rad * one_p),
+            -factor * (vel[2] * one_m - r_vec[2] * v_rad * one_p),
+        )
+        if config.model == "flat":
+            z = jnp.zeros_like(rel[0])
+            return (z, z, z)
+        if config.model == "kerr":
+            # Lense-Thirring gravito-magnetic term, spin axis +Y
+            m = rs * 0.5
+            j = spin * m * m
+            inv_r3 = inv_r * inv_r * inv_r
+            jdotr = r_vec[1]  # J_hat . r_hat with J_hat = +Y
+            bg = (
+                j * inv_r3 * (3.0 * jdotr * r_vec[0]),
+                j * inv_r3 * (3.0 * jdotr * r_vec[1] - 1.0),
+                j * inv_r3 * (3.0 * jdotr * r_vec[2]),
+            )
+            drag = _vcross(vel, bg)
+            ax = _vadd(ax, drag)
+        return ax
+
+    def step_fn(rel, vel, r, r2, rs, spin, dt):
+        if config.integrator == "euler":
+            # semi-implicit Euler (wgsl:80-85): v' first, p' with v'
+            a = accel(rel, vel, r, r2, rs, spin)
+            nv = _vaxpy(vel, a, dt)
+            np_ = _vaxpy(rel, nv, dt)
+            return np_, nv
+        # classic RK4 on (pos, vel) (docs/ROADMAP.md:169-176)
+        guard = 1.0001 * jnp.maximum(rs, 1e-6)
+
+        def deriv(p, v):
+            rr2 = _vdot(p, p)
+            rr = jnp.maximum(jnp.sqrt(rr2), guard)
+            return v, accel(p, v, rr, rr * rr, rs, spin)
+
+        k1p, k1v = deriv(rel, vel)
+        k2p, k2v = deriv(_vaxpy(rel, k1p, 0.5 * dt), _vaxpy(vel, k1v, 0.5 * dt))
+        k3p, k3v = deriv(_vaxpy(rel, k2p, 0.5 * dt), _vaxpy(vel, k2v, 0.5 * dt))
+        k4p, k4v = deriv(_vaxpy(rel, k3p, dt), _vaxpy(vel, k3v, dt))
+        sixth = dt * (1.0 / 6.0)
+
+        def comb(k1, k2, k3, k4):
+            return (
+                k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0],
+                k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1],
+                k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2],
+            )
+
+        np_ = _vaxpy(rel, comb(k1p, k2p, k3p, k4p), sixth)
+        nv = _vaxpy(vel, comb(k1v, k2v, k3v, k4v), sixth)
+        return np_, nv
+
+    def kernel(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o, st_ref):
+        gi = pl.program_id(0)
+        gj = pl.program_id(1)
+
+        cam = (params[_P_CAM], params[_P_CAM + 1], params[_P_CAM + 2])
+        fwd = (params[_P_FWD], params[_P_FWD + 1], params[_P_FWD + 2])
+        right = (params[_P_RIGHT], params[_P_RIGHT + 1], params[_P_RIGHT + 2])
+        up = (params[_P_UP], params[_P_UP + 1], params[_P_UP + 2])
+        bh = (params[_P_BH], params[_P_BH + 1], params[_P_BH + 2])
+        rs = params[_P_RS]
+        fov_factor = params[_P_FOVF]
+        spin = params[_P_SPIN]
+        base_dt = params[_P_DT]
+        escape_r = params[_P_ESC]
+        capture_r = params[_P_CAP]
+        r_isco = params[_P_RISCO]
+        r_outer = params[_P_ROUTER]
+        wf = params[_P_WF]
+        hf = params[_P_HF]
+        aspect = params[_P_ASPECT]
+        row0 = params[_P_ROW0].astype(jnp.int32)
+        col0 = params[_P_COL0].astype(jnp.int32)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + gi * th + row0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + gj * tw + col0
+        pxf = cols.astype(jnp.float32)
+        pyf = rows.astype(jnp.float32)
+
+        # ray-gen (wgsl:183-198): pixel-index UVs, Y flip, aspect, fov
+        u = (pxf / wf - 0.5) * 2.0 * aspect
+        v = (pyf / hf - 0.5) * -2.0
+        uf = u * fov_factor
+        vf = v * fov_factor
+        d = (
+            fwd[0] + right[0] * uf + up[0] * vf,
+            fwd[1] + right[1] * uf + up[1] * vf,
+            fwd[2] + right[2] * uf + up[2] * vf,
+        )
+        d = _vnorm(d)
+        # trace_ray entry re-normalizes (wgsl:140) — keep for oracle parity
+        vel0 = _vnorm(d)
+        ones = jnp.ones((th, tw), jnp.float32)
+        pos0 = (cam[0] * ones, cam[1] * ones, cam[2] * ones)
+        # Ray status lives in a VMEM scratch ref, NOT a loop carry: a status
+        # carry that is both compared (producing the masks that gate the
+        # other carries) and mask-updated trips a Mosaic layout-inference
+        # bug ("Invalid relayout: ... replicated in destination but not in
+        # source") on real TPU. Keeping pos/vel/steps as registers and only
+        # status in scratch breaks the cycle with one plane of VMEM traffic.
+        st_ref[:] = jnp.zeros((th, tw), jnp.int32)
+
+        def cond(carry):
+            i = carry[0]
+            return jnp.logical_and(
+                i < max_steps, jnp.any(st_ref[:] == STATUS_RUNNING)
+            )
+
+        def body(carry):
+            i, posx, posy, posz, velx, vely, velz, steps = carry
+            pos = (posx, posy, posz)
+            vel = (velx, vely, velz)
+            status = st_ref[:]
+            active = status == STATUS_RUNNING
+            rel = (pos[0] - bh[0], pos[1] - bh[1], pos[2] - bh[2])
+            r2 = _vdot(rel, rel)
+            r = jnp.sqrt(r2)
+            # steps_taken = i+1 while active == "+1 per entered iteration";
+            # written as vector arithmetic (scalar-operand selects also trip
+            # the Mosaic relayout bug)
+            steps = steps + active.astype(jnp.int32)
+            escaped = active & (r > escape_r)
+            captured = active & (~escaped) & (r < capture_r)
+            stepping = active & (~escaped) & (~captured)
+
+            if config.adaptive:
+                dt = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0)
+            else:
+                dt = base_dt
+            new_rel, new_vel = step_fn(rel, vel, r, r2, rs, spin, dt)
+            new_vel_n = _vnorm(new_vel)
+            new_pos = _vadd(new_rel, bh)
+
+            if config.disk:
+                # equatorial y=0 crossing within the annulus (ROADMAP.md:293-313)
+                oy, ny = rel[1], new_rel[1]
+                crosses = oy * ny < 0.0
+                tden = jnp.where(crosses, ny - oy, 1.0)
+                tt = -oy / tden
+                hx = rel[0] + tt * (new_rel[0] - rel[0])
+                hz = rel[2] + tt * (new_rel[2] - rel[2])
+                hr = jnp.sqrt(hx * hx + hz * hz)
+                hit = stepping & crosses & (hr >= r_isco) & (hr <= r_outer)
+                zero = jnp.zeros_like(hx)
+                hit_pos = (hx + bh[0], zero + bh[1], hz + bh[2])
+                new_pos = _vwhere(hit, hit_pos, new_pos)
+                status = status + hit.astype(jnp.int32) * STATUS_DISK
+
+            pos = _vwhere(stepping, new_pos, pos)
+            vel = _vwhere(stepping, new_vel_n, vel)
+            # disjoint masks over status==0 rays -> plain adds
+            status = status + escaped.astype(jnp.int32) * STATUS_ESCAPED
+            status = status + captured.astype(jnp.int32) * STATUS_CAPTURED
+            st_ref[:] = status
+            return (i + 1, pos[0], pos[1], pos[2], vel[0], vel[1], vel[2], steps)
+
+        init = (
+            jnp.int32(0),
+            pos0[0], pos0[1], pos0[2],
+            vel0[0], vel0[1], vel0[2],
+            jnp.zeros((th, tw), jnp.int32),
+        )
+        carry = jax.lax.while_loop(cond, body, init)
+        _, posx, posy, posz, velx, vely, velz, steps = carry
+        px_o[:] = posx
+        py_o[:] = posy
+        pz_o[:] = posz
+        vx_o[:] = velx
+        vy_o[:] = vely
+        vz_o[:] = velz
+        status_o[:] = st_ref[:]
+        steps_o[:] = steps
+
+    return kernel
+
+
+def build_params(camera, scene, config: TraceConfig, row0=0, col0=0) -> jnp.ndarray:
+    """Pack camera/scene dynamics into the fp32 SMEM params vector.
+
+    `row0`/`col0` offset the in-kernel ray-gen for row/column-band sharding
+    across a device mesh (parallel/mesh.py); UVs always reference the full
+    image dimensions from `scene`.
+    """
+    from ..ops.geodesic import model_capture_radius
+    from ..core.scene import CAPTURE_FACTOR
+
+    rs = jnp.asarray(scene.schwarzschild_radius, jnp.float32)
+    spin = jnp.asarray(scene.spin, jnp.float32)
+    if config.model == "schwarzschild":
+        capture_r = rs * CAPTURE_FACTOR  # wgsl:62 literal
+    else:
+        capture_r = jnp.asarray(model_capture_radius(config.model, rs, spin), jnp.float32)
+    w = scene.screen_width
+    h = scene.screen_height
+    vals = [
+        camera.position[0], camera.position[1], camera.position[2],
+        camera.forward[0], camera.forward[1], camera.forward[2],
+        camera.right[0], camera.right[1], camera.right[2],
+        camera.up[0], camera.up[1], camera.up[2],
+        scene.black_hole_position[0], scene.black_hole_position[1],
+        scene.black_hole_position[2],
+        rs,
+        jnp.tan(jnp.asarray(scene.fov, jnp.float32) * 0.5),
+        spin,
+        jnp.float32(config.dt),
+        jnp.float32(config.escape_radius),
+        capture_r,
+        jnp.float32(config.disk_r_isco_factor) * rs,
+        jnp.float32(config.disk_r_outer_factor) * rs,
+        jnp.float32(w),
+        jnp.float32(h),
+        jnp.float32(w) / jnp.float32(h),
+        jnp.asarray(row0, jnp.float32),
+        jnp.asarray(col0, jnp.float32),
+    ]
+    vals += [jnp.float32(0.0)] * (_P_SIZE - len(vals))
+    return jnp.stack([jnp.asarray(x, jnp.float32) for x in vals])
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret"),
+)
+def _pallas_trace(
+    params,
+    *,
+    width: int,
+    height: int,
+    max_steps: int,
+    config: TraceConfig,
+    tile,
+    fast_math: bool,
+    interpret: bool,
+):
+    th, tw = tile
+    hp = _round_up(height, th)
+    wp = _round_up(width, tw)
+    grid = (hp // th, wp // tw)
+    kernel = build_kernel(config, max_steps, tile, fast_math)
+    f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
+    block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    # ~55 flops + 2 rsqrt-class ops per ray-step (Euler); RK4 is ~4x
+    step_cost = 55 if config.integrator == "euler" else 220
+    cost = pl.CostEstimate(
+        flops=hp * wp * max_steps * step_cost,
+        bytes_accessed=hp * wp * 4 * 8,
+        transcendentals=hp * wp * max_steps * 2,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[block] * 8,
+        out_shape=[f32] * 6 + [i32] * 2,
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(params)
+    posx, posy, posz, velx, vely, velz, status, steps = [
+        o[:height, :width] for o in outs
+    ]
+    final_pos = jnp.stack([posx, posy, posz], axis=-1)
+    final_vel = jnp.stack([velx, vely, velz], axis=-1)
+    return TraceResult(
+        final_pos=final_pos, final_vel=final_vel, status=status, steps=steps
+    )
+
+
+def pallas_trace_image(
+    camera,
+    scene,
+    config: TraceConfig = TraceConfig(),
+    *,
+    tile=DEFAULT_TILE,
+    fast_math: bool = False,
+    interpret: bool | None = None,
+    row0=0,
+    col0=0,
+    local_shape: tuple[int, int] | None = None,
+) -> TraceResult:
+    """Trace every pixel of the scene's image with the Pallas kernel.
+
+    Rays are generated in-kernel; only the 32-float params vector crosses
+    into the kernel. Returns a TraceResult shaped (H, W) — or
+    `local_shape` when rendering a row/column band of the full image for
+    mesh-sharded rendering (row0/col0 give the band's global origin).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = local_shape or (scene.screen_height, scene.screen_width)
+    params = build_params(camera, scene, config, row0=row0, col0=col0)
+    return _pallas_trace(
+        params,
+        width=width,
+        height=height,
+        max_steps=scene.max_steps,
+        config=config,
+        tile=tuple(tile),
+        fast_math=fast_math,
+        interpret=interpret,
+    )

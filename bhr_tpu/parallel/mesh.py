@@ -1,0 +1,238 @@
+"""Multi-chip rendering over a jax device mesh.
+
+The reference is single-device (SURVEY.md §2.2); its only parallelism is
+SPMD over pixels within one GPU. The TPU-native scaling story:
+
+  * **sp** (spatial / "sequence" axis): the pixel-row dimension of a frame
+    is sharded across devices — each chip ray-traces a horizontal band.
+    Rays are embarrassingly parallel, so the band render needs *zero*
+    communication; ray-gen takes the band's global row offset.
+  * **dp** (data axis): animation frames are batch-sharded across devices;
+    each chip scans its subset of frame times.
+
+Collectives ride ICI only for reductions (the frame-luminance telemetry
+psum below) and any host-side gather of the final sharded image — the hot
+loop itself never communicates, which is the speed-of-light layout for this
+workload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.camera import generate_rays, orbit_camera
+from ..models.disk import DiskParams
+from ..ops.pallas_trace import pallas_trace_image
+from ..ops.sampling import quantize_rgba8
+from ..ops.shading import shade
+from ..ops.trace import TraceConfig, trace_rays
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("dp", "sp"), shape=None) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices.
+
+    Default shape puts as many devices as possible on sp (intra-frame
+    banding) with dp absorbing the rest — for 8 devices: (2, 4).
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        if n == 1:
+            shape = (1, 1)
+        else:
+            dp = 2 if n % 2 == 0 else 1
+            shape = (dp, n // dp)
+    import numpy as np
+
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def _render_band(
+    camera,
+    scene,
+    skybox,
+    disk_params,
+    lut,
+    row0,
+    band_h,
+    *,
+    config,
+    use_pallas,
+    tile,
+    fast_math,
+    tonemap,
+    interpret,
+):
+    """Render rows [row0, row0+band_h) of the full image -> uint8 band."""
+    from ..ops.display import TONEMAPS
+
+    if use_pallas:
+        result = pallas_trace_image(
+            camera,
+            scene,
+            config,
+            tile=tile,
+            fast_math=fast_math,
+            interpret=interpret,
+            row0=row0,
+            local_shape=(band_h, scene.screen_width),
+        )
+    else:
+        origins, dirs = generate_rays(
+            camera,
+            scene.screen_width,
+            scene.screen_height,
+            scene.fov,
+            row_offset=row0,
+            local_shape=(band_h, scene.screen_width),
+        )
+        result = trace_rays(
+            origins,
+            dirs,
+            scene.black_hole_position,
+            scene.schwarzschild_radius,
+            scene.spin,
+            scene.max_steps,
+            config,
+        )
+    color = shade(
+        result,
+        skybox,
+        scene.max_steps,
+        debug_mode=scene.debug_mode,
+        bh_pos=scene.black_hole_position,
+        rs=scene.schwarzschild_radius,
+        camera_position=camera.position,
+        disk_params=disk_params,
+        blackbody_lut=lut,
+    )
+    color = TONEMAPS[tonemap](color)
+    return quantize_rgba8(color)
+
+
+def render_frame_sharded(
+    camera,
+    scene,
+    skybox,
+    mesh: Mesh,
+    *,
+    config: TraceConfig = TraceConfig(),
+    disk_params=None,
+    lut=None,
+    use_pallas: bool | None = None,
+    tile=(8, 128),
+    fast_math: bool = False,
+    tonemap: str = "passthrough",
+    interpret: bool | None = None,
+):
+    """One frame with pixel rows sharded over the mesh's 'sp' axis.
+
+    Returns the uint8 (H, W, 4) image, sharded over rows (NamedSharding
+    P('sp')); jax.device_get assembles it on the host.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_sp = mesh.shape["sp"]
+    height = scene.screen_height
+    if height % n_sp:
+        raise ValueError(f"image height {height} must divide over sp={n_sp}")
+    band_h = height // n_sp
+
+    def shard_fn(camera, scene, skybox, disk_params, lut):
+        row0 = jax.lax.axis_index("sp") * band_h
+        return _render_band(
+            camera, scene, skybox, disk_params, lut, row0, band_h,
+            config=config, use_pallas=use_pallas, tile=tile,
+            fast_math=fast_math, tonemap=tonemap, interpret=interpret,
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P("sp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)(camera, scene, skybox, disk_params, lut)
+
+
+def render_animation_sharded(
+    times,
+    scene,
+    skybox,
+    mesh: Mesh,
+    *,
+    orbit=(0.3, 15.0, 5.0),
+    config: TraceConfig = TraceConfig(),
+    disk_params=None,
+    lut=None,
+    use_pallas: bool | None = None,
+    tile=(8, 128),
+    fast_math: bool = False,
+    tonemap: str = "passthrough",
+    interpret: bool | None = None,
+    with_stats: bool = True,
+):
+    """Animation with frames sharded over 'dp' and rows over 'sp'.
+
+    `times` is fp32[F] with F divisible by mesh dp size. Each device scans
+    its local frames and renders its row band — the full (dp x sp) mesh is
+    busy with zero hot-loop communication. When `with_stats`, a per-frame
+    mean-luminance telemetry scalar is psum-reduced over 'sp' (the ICI
+    collective exercising the mesh) and returned alongside the frames.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    height = scene.screen_height
+    if height % n_sp or len(times) % n_dp:
+        raise ValueError("times must divide over dp and height over sp")
+    band_h = height // n_sp
+    speed, radius, cam_h = [jnp.float32(x) for x in orbit]
+
+    def shard_fn(times, scene, skybox, disk_params, lut):
+        row0 = jax.lax.axis_index("sp") * band_h
+
+        def step(carry, t):
+            cam = orbit_camera(t, radius=radius, height=cam_h, rotation_speed=speed)
+            band = _render_band(
+                cam, scene, skybox, disk_params, lut, row0, band_h,
+                config=config, use_pallas=use_pallas, tile=tile,
+                fast_math=fast_math, tonemap=tonemap, interpret=interpret,
+            )
+            if with_stats:
+                lum = jnp.mean(band[..., :3].astype(jnp.float32))
+                lum = jax.lax.psum(lum, "sp") / n_sp  # ICI reduction
+            else:
+                lum = jnp.float32(0.0)
+            return carry, (band, lum)
+
+        _, (bands, lums) = jax.lax.scan(step, 0, times)
+        return bands, lums
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp"), P(), P(), P(), P()),
+        out_specs=(P("dp", "sp"), P("dp")),
+        check_vma=False,
+    )
+    frames, lums = jax.jit(fn)(times, scene, skybox, disk_params, lut)
+    if with_stats:
+        return frames, lums
+    return frames
+
+
+def shard_image(image, mesh: Mesh):
+    """Place an existing image with rows sharded over 'sp' (utility)."""
+    return jax.device_put(image, NamedSharding(mesh, P("sp")))

@@ -1,0 +1,298 @@
+"""Renderer engine: the public API layer.
+
+TPU-native analog of the reference's `GpuContext` + `BlackHoleRenderer`
+(reference: src/lib.rs:144-201, 317-703). The API surface preserves the
+reference names and defaults so the published notebook workflow ports
+directly (SURVEY.md §3.5):
+
+    ctx = TpuContext.new()
+    renderer = BlackHoleRenderer.new_with_context(ctx, 800, 600)
+    camera = Camera.new([15, 5, 0], [0, 0, 0], [0, 1, 0])
+    scene = SceneParams(schwarzschild_radius=2.0, ...)
+    renderer.render_frame(camera, scene)
+    renderer.save_image("black_hole_render.png")
+
+Where the reference took a WGSL `shader_path` to hot-swap integrators
+(src/main.rs:30, lib.rs:425-429), this renderer takes an `integrator` /
+`model` config axis ("euler"/"rk4" x "schwarzschild"/"kerr"/"flat") — paths
+containing "euler"/"rk4" are accepted and mapped for backward parity.
+
+The whole frame pipeline (ray-gen -> geodesic kernel -> skybox gather ->
+tonemap -> rgba8) is one jit program; the rendered frame stays in HBM until
+`get_image_data`/`save_image` crosses to the host (the only transfer,
+mirroring lib.rs:613-686's explicit readback boundary).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import functools
+import inspect
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.camera import Camera, generate_rays
+from .core.scene import SceneParams
+from .io import image as image_io
+from .io.skybox import load_skybox
+from .models.disk import DiskParams, blackbody_lut
+from .ops import display as display_ops
+from .ops.pallas_trace import DEFAULT_TILE, pallas_trace_image
+from .ops.shading import shade
+from .ops.sampling import quantize_rgba8
+from .ops.trace import TraceConfig, trace_rays
+
+
+class TpuContext:
+    """Device context — the analog of GpuContext (reference: lib.rs:144-201).
+
+    Owns the jax device the renderer computes on. `new()` picks the highest-
+    performance available backend (TPU > GPU > CPU), the moral equivalent of
+    wgpu's PowerPreference::HighPerformance adapter request (lib.rs:159-166).
+    """
+
+    def __init__(self, device=None):
+        self.device = device if device is not None else jax.devices()[0]
+
+    @classmethod
+    def new(cls) -> "TpuContext":
+        return cls()
+
+    @property
+    def platform(self) -> str:
+        return self.device.platform
+
+    def __repr__(self):
+        return f"TpuContext(device={self.device})"
+
+
+# Reference-name alias: code written against the reference's `GpuContext`
+# keeps working.
+GpuContext = TpuContext
+
+
+def _integrator_from_path(name: str) -> tuple[str, str]:
+    """Map an integrator name or legacy shader path to (integrator, model)."""
+    low = name.lower()
+    model = "kerr" if "kerr" in low else "schwarzschild"
+    if "flat" in low:
+        model = "flat"
+    integrator = "rk4" if "rk4" in low else "euler"
+    return integrator, model
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "use_pallas",
+        "tile",
+        "fast_math",
+        "tonemap",
+        "interpret",
+    ),
+)
+def render_image(
+    camera: Camera,
+    scene: SceneParams,
+    skybox: jnp.ndarray,
+    disk_params,
+    lut,
+    *,
+    config: TraceConfig,
+    use_pallas: bool,
+    tile,
+    fast_math: bool,
+    tonemap: str,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Pure jittable frame pipeline -> uint8 (H, W, 4)."""
+    if use_pallas:
+        result = pallas_trace_image(
+            camera,
+            scene,
+            config,
+            tile=tile,
+            fast_math=fast_math,
+            interpret=interpret,
+        )
+    else:
+        origins, dirs = generate_rays(
+            camera, scene.screen_width, scene.screen_height, scene.fov
+        )
+        result = trace_rays(
+            origins,
+            dirs,
+            scene.black_hole_position,
+            scene.schwarzschild_radius,
+            scene.spin,
+            scene.max_steps,
+            config,
+        )
+    color = shade(
+        result,
+        skybox,
+        scene.max_steps,
+        debug_mode=scene.debug_mode,
+        bh_pos=scene.black_hole_position,
+        rs=scene.schwarzschild_radius,
+        camera_position=camera.position,
+        disk_params=disk_params,
+        blackbody_lut=lut,
+    )
+    color = display_ops.TONEMAPS[tonemap](color)
+    return quantize_rgba8(color)
+
+
+class BlackHoleRenderer:
+    """Black-hole ray-tracing engine (reference: src/lib.rs:317-703)."""
+
+    def __init__(
+        self,
+        width: int = 800,
+        height: int = 600,
+        integrator: str = "euler",
+        *,
+        model: str | None = None,
+        context: TpuContext | None = None,
+        skybox=None,
+        use_pallas: bool | None = None,
+        tile=DEFAULT_TILE,
+        fast_math: bool = False,
+        adaptive: bool = False,
+        disk: bool = False,
+        tonemap: str = "passthrough",
+        dt: float | None = None,
+        interpret: bool | None = None,
+    ):
+        self.context = context or TpuContext.new()
+        self.width = int(width)
+        self.height = int(height)
+        integ, path_model = _integrator_from_path(integrator)
+        self.config = TraceConfig(
+            integrator=integ,
+            model=model or path_model,
+            adaptive=adaptive,
+            disk=disk,
+            **({"dt": dt} if dt is not None else {}),
+        )
+        if use_pallas is None:
+            # Pallas is the perf path on TPU; the XLA oracle is the default
+            # elsewhere (it vectorizes well on CPU and is the numerics oracle).
+            use_pallas = self.context.platform == "tpu"
+        self.use_pallas = bool(use_pallas)
+        self.tile = tuple(tile)
+        self.fast_math = bool(fast_math)
+        self.tonemap = tonemap
+        if interpret is None:
+            interpret = self.context.platform != "tpu"
+        self.interpret = bool(interpret)
+
+        # default camera/scene (reference: lib.rs:354-370)
+        self.camera = Camera.default()
+        self.scene = SceneParams(
+            screen_width=self.width, screen_height=self.height
+        )
+        # skybox upload: host decode -> device array (the analog of
+        # load_texture_from_file + queue.write_texture, lib.rs:208-267)
+        tex = load_skybox(skybox)
+        self.skybox = jax.device_put(jnp.asarray(tex), self.context.device)
+        self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
+        self._last_frame = None
+
+    # -- constructors matching the reference API (lib.rs:339, 351) ---------
+
+    @classmethod
+    def new(cls, width: int, height: int, shader_path: str = "euler", **kw):
+        return cls(width, height, shader_path, **kw)
+
+    @classmethod
+    def new_with_context(
+        cls, context: TpuContext, width: int, height: int, shader_path: str = "euler", **kw
+    ):
+        return cls(width, height, shader_path, context=context, **kw)
+
+    # -- the hot path (lib.rs:550-590) --------------------------------------
+
+    def render_frame(
+        self,
+        camera: Camera | None = None,
+        scene: SceneParams | None = None,
+        timestamp_query=None,
+    ) -> jnp.ndarray:
+        """Render one frame; returns (and retains) the uint8 RGBA device array.
+
+        `timestamp_query` optionally receives device timing: pass a
+        TimestampQuery (utils/timing.py) and its gpu_time_ms is populated —
+        the analog of the wgpu timestamp-query plumbing (lib.rs:569-577).
+        """
+        camera = camera if camera is not None else self.camera
+        scene = scene if scene is not None else self.scene
+        if (scene.screen_width, scene.screen_height) != (self.width, self.height):
+            scene = scene.replace(screen_width=self.width, screen_height=self.height)
+        disk_params = (
+            DiskParams.for_scene(scene.schwarzschild_radius) if self.config.disk else None
+        )
+        if timestamp_query is not None:
+            timestamp_query.begin()
+        frame = render_image(
+            camera,
+            scene,
+            self.skybox,
+            disk_params,
+            self._lut,
+            config=self.config,
+            use_pallas=self.use_pallas,
+            tile=self.tile,
+            fast_math=self.fast_math,
+            tonemap=self.tonemap,
+            interpret=self.interpret,
+        )
+        if timestamp_query is not None:
+            frame.block_until_ready()
+            timestamp_query.end()
+        self.camera = camera
+        self.scene = scene
+        self._last_frame = frame
+        return frame
+
+    # -- readback & I/O (lib.rs:613-702) ------------------------------------
+
+    @property
+    def output_texture_view(self) -> jnp.ndarray:
+        """The last rendered frame, still on device (lib.rs:595-597)."""
+        if self._last_frame is None:
+            self.render_frame()
+        return self._last_frame
+
+    def get_image_data(self) -> np.ndarray:
+        """Device frame -> host uint8 (H, W, 4) (lib.rs:613-686)."""
+        return image_io.get_image_data(self.output_texture_view)
+
+    def save_image(self, path: str) -> None:
+        """Save the last frame; format by extension (lib.rs:692-702)."""
+        image_io.save_image(self.output_texture_view, path)
+
+    @property
+    def device(self):
+        return self.context.device
+
+    @property
+    def queue(self):
+        """Reference-API parity accessor (lib.rs:605-607); jax has no
+        separate queue object — returns the device."""
+        return self.context.device
+
+
+def block_on(value):
+    """Run an awaitable to completion, or pass plain values through.
+
+    API-parity helper for the reference's Jupyter `block_on`
+    (reference: src/lib.rs:712-716). The TPU renderer is synchronous, so
+    ported notebook cells like `block_on(GpuContext.new())` just work.
+    """
+    if inspect.isawaitable(value):
+        return asyncio.new_event_loop().run_until_complete(value)
+    return value
