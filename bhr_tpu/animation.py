@@ -39,6 +39,8 @@ APP_MAX_STEPS = 200
         "fast_math",
         "tonemap",
         "interpret",
+        "seed",
+        "packed",
     ),
 )
 def render_frames_scan(
@@ -55,12 +57,19 @@ def render_frames_scan(
     fast_math,
     tonemap,
     interpret,
+    seed=2020,
+    packed=False,
 ):
     """Render frames at `times` (fp32[F]) in one fused lax.scan.
 
     `orbit` is (rotation_speed, radius, height) as traced scalars. Returns
-    uint8 (F, H, W, 4) — all frames rendered on device with no host sync.
+    uint8 (F, H, W, 4) — or packed u32 (F, H, W) when `packed` — all frames
+    rendered on device with no host sync. Internally the scan carries the
+    packed-u32 frame format (well-tiled planes); the uint8 view is a single
+    bitcast at the end.
     """
+    from .ops.sampling import unpack_frame
+
     speed, radius, height = orbit
 
     def step(carry, t):
@@ -77,11 +86,13 @@ def render_frames_scan(
             fast_math=fast_math,
             tonemap=tonemap,
             interpret=interpret,
+            seed=seed,
+            packed=True,
         )
         return carry, frame
 
     _, frames = jax.lax.scan(step, 0, times)
-    return frames
+    return frames if packed else unpack_frame(frames)
 
 
 class OrbitAnimator:
@@ -109,8 +120,10 @@ class OrbitAnimator:
         fps: float = 60.0,
         start_frame: int = 0,
         scene=None,
+        packed: bool = False,
     ) -> jnp.ndarray:
-        """All frames fused in one scan -> uint8 (F, H, W, 4) device array."""
+        """All frames fused in one scan -> uint8 (F, H, W, 4) device array
+        (packed u32 (F, H, W) when `packed=True`)."""
         r = self.renderer
         scene = scene if scene is not None else r.scene
         disk_params = (
@@ -134,6 +147,8 @@ class OrbitAnimator:
             fast_math=r.fast_math,
             tonemap=r.tonemap,
             interpret=r.interpret,
+            seed=r.skybox_seed,
+            packed=packed,
         )
 
     def render_to_dir(
@@ -156,8 +171,9 @@ class OrbitAnimator:
         done = 0
         while done < n_frames:
             n = min(chunk_size, n_frames - done)
-            frames = self.render_frames(n, fps, start_frame + done, scene)
-            host = np.asarray(jax.device_get(frames))
+            frames = self.render_frames(n, fps, start_frame + done, scene, packed=True)
+            host = np.asarray(jax.device_get(frames)).view(np.uint8)
+            host = host.reshape(host.shape[0], host.shape[1], -1, 4)
             for k in range(n):
                 idx = start_frame + done + k
                 path = os.path.join(out_dir, f"frame_{idx:05d}.png")

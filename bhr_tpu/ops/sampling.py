@@ -14,6 +14,7 @@ parts).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.math import direction_to_equirectangular_uv
@@ -50,6 +51,77 @@ def sample_bilinear(texture: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp
     top = t00 * (1.0 - fx) + t10 * fx
     bot = t01 * (1.0 - fx) + t11 * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def pack_texture_rgba8(texture) -> jnp.ndarray:
+    """fp32 (H, W, C) k/255 texture -> packed uint32 (H, W) RGBA plane.
+
+    Texture-gather bandwidth on TPU is index-count-bound; packing all four
+    channels into one u32 word cuts a bilinear sample from 12-16 gathers to
+    4 (one per corner), with cheap shift/mask unpacks on the VPU.
+    """
+    t = jnp.asarray(texture)
+    q = jnp.round(jnp.clip(t, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    a = q[..., 3] if t.shape[-1] > 3 else jnp.full(t.shape[:-1], 255, jnp.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (a << 24)
+
+
+def _unpack_rgb(word):
+    s = jnp.float32(1.0 / 255.0)
+    r = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    g = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    b = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    return r, g, b
+
+
+def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz):
+    """Planar bilinear equirect sample from a packed-u32 texture.
+
+    Same sampler semantics as sample_equirect (Repeat-U/Clamp-V, half-texel
+    centers, k/255 Rgba8Unorm values — reference lib.rs:414-421), but
+    operating on (...,)-shaped direction component planes and issuing only
+    4 gathers. Returns (r, g, b) planes.
+    """
+    h, w = packed_texture.shape
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    u = 0.5 + jnp.arctan2(dz, dx) / jnp.float32(6.28318530718)
+    v = 0.5 - jnp.arcsin(jnp.clip(dy * inv, -1.0, 1.0)) / jnp.float32(3.14159265359)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    x1 = jnp.mod(x0 + 1, w)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    c00 = _unpack_rgb(packed_texture[y0, x0])
+    c10 = _unpack_rgb(packed_texture[y0, x1])
+    c01 = _unpack_rgb(packed_texture[y1, x0])
+    c11 = _unpack_rgb(packed_texture[y1, x1])
+    out = []
+    for k in range(3):
+        top = c00[k] * (1.0 - fx) + c10[k] * fx
+        bot = c01[k] * (1.0 - fx) + c11[k] * fx
+        out.append(top * (1.0 - fy) + bot * fy)
+    return tuple(out)
+
+
+def pack_rgba8_planes(r, g, b, alpha: float = 1.0) -> jnp.ndarray:
+    """fp32 color planes in [0,1] -> packed uint32 RGBA plane.
+
+    The packed plane is the TPU-friendly frame format (well-tiled (H, W)
+    u32); `unpack_frame` views it as the conventional (H, W, 4) uint8.
+    """
+    q = lambda c: jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    a = jnp.uint32(int(round(alpha * 255.0))) << 24
+    return q(r) | (q(g) << 8) | (q(b) << 16) | a
+
+
+def unpack_frame(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed uint32 (..., H, W) frame -> uint8 (..., H, W, 4) RGBA view."""
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)
 
 
 def quantize_rgba8(rgb: jnp.ndarray, alpha: float = 1.0) -> jnp.ndarray:

@@ -58,3 +58,56 @@ def shade_to_rgba8(*args, tonemap=None, **kwargs) -> jnp.ndarray:
     if tonemap is not None:
         color = tonemap(color)
     return quantize_rgba8(color)
+
+
+def shade_planes_packed(
+    result: TraceResult,
+    background,
+    max_steps: int,
+    debug_mode: int = 0,
+    bh_pos=None,
+    rs=None,
+    camera_position=None,
+    disk_params=None,
+    blackbody_lut=None,
+    tonemap=None,
+) -> jnp.ndarray:
+    """Planar shading epilogue -> packed uint32 RGBA frame.
+
+    The TPU-fast variant of shade(): every intermediate is a well-tiled
+    (H, W) component plane (no 3-wide minor dimensions), and the output is
+    one packed u32 plane (see sampling.pack_rgba8_planes). `background` is
+    a callable (dx, dy, dz) -> (r, g, b) planes — either the analytic star
+    field (ops/starfield.py) or a packed-texture sampler closure
+    (sampling.sample_equirect_packed).
+    """
+    from ..core.scene import DEBUG_STEPS
+    from .sampling import pack_rgba8_planes
+
+    if debug_mode == DEBUG_STEPS:
+        rgb = steps_to_color(result.steps, max_steps)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        return pack_rgba8_planes(r, g, b)
+
+    vx = result.final_vel[..., 0]
+    vy = result.final_vel[..., 1]
+    vz = result.final_vel[..., 2]
+    r, g, b = background(vx, vy, vz)
+    captured = result.status == STATUS_CAPTURED
+    zero = jnp.zeros((), jnp.float32)
+    r = jnp.where(captured, zero, r)
+    g = jnp.where(captured, zero, g)
+    b = jnp.where(captured, zero, b)
+    if disk_params is not None:
+        hit_rel = result.final_pos - bh_pos
+        observer_r = jnp.sqrt(jnp.sum((camera_position - bh_pos) ** 2, axis=-1))
+        emission = disk_model.disk_emission(
+            hit_rel, result.final_vel, observer_r, rs, disk_params, blackbody_lut
+        )
+        is_disk = result.status == STATUS_DISK
+        r = jnp.where(is_disk, emission[..., 0], r)
+        g = jnp.where(is_disk, emission[..., 1], g)
+        b = jnp.where(is_disk, emission[..., 2], b)
+    if tonemap is not None:
+        r, g, b = tonemap(r), tonemap(g), tonemap(b)
+    return pack_rgba8_planes(r, g, b)

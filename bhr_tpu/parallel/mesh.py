@@ -24,11 +24,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import functools
+
 from ..core.camera import generate_rays, orbit_camera
 from ..models.disk import DiskParams
 from ..ops.pallas_trace import pallas_trace_image
-from ..ops.sampling import quantize_rgba8
-from ..ops.shading import shade
+from ..ops.sampling import sample_equirect_packed, unpack_frame
+from ..ops.shading import shade_planes_packed
+from ..ops.starfield import procedural_background
 from ..ops.trace import TraceConfig, trace_rays
 
 
@@ -68,7 +71,10 @@ def _render_band(
     tonemap,
     interpret,
 ):
-    """Render rows [row0, row0+band_h) of the full image -> uint8 band."""
+    """Render rows [row0, row0+band_h) of the full image -> packed u32 band.
+
+    `skybox` is a packed-u32 texture or None (analytic star field).
+    """
     from ..ops.display import TONEMAPS
 
     if use_pallas:
@@ -100,9 +106,14 @@ def _render_band(
             scene.max_steps,
             config,
         )
-    color = shade(
+    if skybox is None:
+        background = procedural_background
+    else:
+        background = functools.partial(sample_equirect_packed, skybox)
+    tm = TONEMAPS[tonemap]
+    return shade_planes_packed(
         result,
-        skybox,
+        background,
         scene.max_steps,
         debug_mode=scene.debug_mode,
         bh_pos=scene.black_hole_position,
@@ -110,9 +121,8 @@ def _render_band(
         camera_position=camera.position,
         disk_params=disk_params,
         blackbody_lut=lut,
+        tonemap=None if tonemap == "passthrough" else tm,
     )
-    color = TONEMAPS[tonemap](color)
-    return quantize_rgba8(color)
 
 
 def render_frame_sharded(
@@ -160,7 +170,8 @@ def render_frame_sharded(
         out_specs=P("sp"),
         check_vma=False,
     )
-    return jax.jit(fn)(camera, scene, skybox, disk_params, lut)
+    packed = jax.jit(fn)(camera, scene, skybox, disk_params, lut)
+    return unpack_frame(packed)
 
 
 def render_animation_sharded(
@@ -211,7 +222,8 @@ def render_animation_sharded(
                 fast_math=fast_math, tonemap=tonemap, interpret=interpret,
             )
             if with_stats:
-                lum = jnp.mean(band[..., :3].astype(jnp.float32))
+                g_chan = ((band >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
+                lum = jnp.mean(g_chan)
                 lum = jax.lax.psum(lum, "sp") / n_sp  # ICI reduction
             else:
                 lum = jnp.float32(0.0)
@@ -228,6 +240,7 @@ def render_animation_sharded(
         check_vma=False,
     )
     frames, lums = jax.jit(fn)(times, scene, skybox, disk_params, lut)
+    frames = unpack_frame(frames)
     if with_stats:
         return frames, lums
     return frames

@@ -39,9 +39,15 @@ from .io import image as image_io
 from .io.skybox import load_skybox
 from .models.disk import DiskParams, blackbody_lut
 from .ops import display as display_ops
-from .ops.pallas_trace import DEFAULT_TILE, pallas_trace_image
-from .ops.shading import shade
-from .ops.sampling import quantize_rgba8
+from .ops.pallas_trace import pallas_trace_image, pick_tile
+from .ops.shading import shade, shade_planes_packed
+from .ops.sampling import (
+    pack_texture_rgba8,
+    quantize_rgba8,
+    sample_equirect_packed,
+    unpack_frame,
+)
+from .ops.starfield import procedural_background
 from .ops.trace import TraceConfig, trace_rays
 
 
@@ -92,12 +98,14 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         "fast_math",
         "tonemap",
         "interpret",
+        "seed",
+        "packed",
     ),
 )
 def render_image(
     camera: Camera,
     scene: SceneParams,
-    skybox: jnp.ndarray,
+    skybox,
     disk_params,
     lut,
     *,
@@ -107,8 +115,17 @@ def render_image(
     fast_math: bool,
     tonemap: str,
     interpret: bool,
-) -> jnp.ndarray:
-    """Pure jittable frame pipeline -> uint8 (H, W, 4)."""
+    seed: int = 2020,
+    packed: bool = False,
+):
+    """Pure jittable frame pipeline.
+
+    `skybox` is a packed-u32 (Ht, Wt) equirect texture, or None for the
+    analytic procedural star field (ops/starfield.py — the gather-free fast
+    path). Returns uint8 (H, W, 4), or the packed u32 (H, W) frame when
+    `packed=True` (the internal TPU-friendly format; see
+    sampling.unpack_frame).
+    """
     if use_pallas:
         result = pallas_trace_image(
             camera,
@@ -117,6 +134,7 @@ def render_image(
             tile=tile,
             fast_math=fast_math,
             interpret=interpret,
+            track_steps=scene.debug_mode != 0,
         )
     else:
         origins, dirs = generate_rays(
@@ -131,9 +149,14 @@ def render_image(
             scene.max_steps,
             config,
         )
-    color = shade(
+    if skybox is None:
+        background = functools.partial(procedural_background, seed=seed)
+    else:
+        background = functools.partial(sample_equirect_packed, skybox)
+    tm = display_ops.TONEMAPS[tonemap]
+    frame = shade_planes_packed(
         result,
-        skybox,
+        background,
         scene.max_steps,
         debug_mode=scene.debug_mode,
         bh_pos=scene.black_hole_position,
@@ -141,9 +164,9 @@ def render_image(
         camera_position=camera.position,
         disk_params=disk_params,
         blackbody_lut=lut,
+        tonemap=None if tonemap == "passthrough" else tm,
     )
-    color = display_ops.TONEMAPS[tonemap](color)
-    return quantize_rgba8(color)
+    return frame if packed else unpack_frame(frame)
 
 
 class BlackHoleRenderer:
@@ -159,13 +182,14 @@ class BlackHoleRenderer:
         context: TpuContext | None = None,
         skybox=None,
         use_pallas: bool | None = None,
-        tile=DEFAULT_TILE,
+        tile=None,
         fast_math: bool = False,
         adaptive: bool = False,
         disk: bool = False,
         tonemap: str = "passthrough",
         dt: float | None = None,
         interpret: bool | None = None,
+        skybox_seed: int = 2020,
     ):
         self.context = context or TpuContext.new()
         self.width = int(width)
@@ -183,7 +207,7 @@ class BlackHoleRenderer:
             # elsewhere (it vectorizes well on CPU and is the numerics oracle).
             use_pallas = self.context.platform == "tpu"
         self.use_pallas = bool(use_pallas)
-        self.tile = tuple(tile)
+        self.tile = tuple(tile) if tile is not None else pick_tile(self.width)
         self.fast_math = bool(fast_math)
         self.tonemap = tonemap
         if interpret is None:
@@ -195,10 +219,17 @@ class BlackHoleRenderer:
         self.scene = SceneParams(
             screen_width=self.width, screen_height=self.height
         )
-        # skybox upload: host decode -> device array (the analog of
+        # skybox: None -> analytic procedural star field (gather-free fast
+        # path); a path/array -> decode + pack + upload (the analog of
         # load_texture_from_file + queue.write_texture, lib.rs:208-267)
-        tex = load_skybox(skybox)
-        self.skybox = jax.device_put(jnp.asarray(tex), self.context.device)
+        if skybox is None:
+            self.skybox = None
+        else:
+            tex = load_skybox(skybox)
+            self.skybox = jax.device_put(
+                pack_texture_rgba8(tex), self.context.device
+            )
+        self.skybox_seed = int(skybox_seed)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
         self._last_frame = None
 
@@ -249,6 +280,7 @@ class BlackHoleRenderer:
             fast_math=self.fast_math,
             tonemap=self.tonemap,
             interpret=self.interpret,
+            seed=self.skybox_seed,
         )
         if timestamp_query is not None:
             frame.block_until_ready()
