@@ -1,0 +1,71 @@
+"""CLI application mode (reference main.rs:14-32 flags + render loop)."""
+
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from bhr_tpu.app import build_parser, main
+
+
+def test_parser_reference_flags():
+    p = build_parser()
+    args = p.parse_args(
+        ["--perf-log", "mytag", "--duration", "2.5", "--debug-steps"]
+    )
+    assert args.perf_log == "mytag"
+    assert args.duration == 2.5
+    assert args.debug_steps is True
+    assert args.integrator == "euler"  # default shader analog
+
+
+def test_parser_rejects_unknown_integrator():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--integrator", "leapfrog"])
+
+
+def test_app_renders_frames_and_logs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "frames")
+    rc = main(
+        [
+            "--frames", "3",
+            "--width", "32",
+            "--height", "16",
+            "--max-steps", "20",
+            "--perf-log", "clitest",
+            "--out", out,
+            "--oracle",
+        ]
+    )
+    assert rc == 0
+    assert len(os.listdir(out)) == 3
+    csvs = glob.glob(str(tmp_path / "measurements" / "perf_log_clitest_*.csv"))
+    assert len(csvs) == 1
+    with open(csvs[0]) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 4  # header + 3 frames
+    assert rows[0][0] == "elapsed_sec"
+
+
+def test_app_debug_steps_mode(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "dbg")
+    rc = main(
+        [
+            "--frames", "1",
+            "--width", "32",
+            "--height", "16",
+            "--max-steps", "20",
+            "--debug-steps",
+            "--out", out,
+            "--oracle",
+        ]
+    )
+    assert rc == 0
+    from PIL import Image
+
+    frame = np.asarray(Image.open(os.path.join(out, "frame_00000.png")).convert("RGB"))
+    assert (frame.max(axis=-1).astype(int) > 200).all()  # saturated heatmap

@@ -1,0 +1,75 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded renders
+must equal single-device renders (SURVEY.md §2.2 TPU-native equivalents)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bhr_tpu import BlackHoleRenderer, Camera, SceneParams
+from bhr_tpu.ops.sampling import pack_texture_rgba8
+from bhr_tpu.ops.trace import TraceConfig
+from bhr_tpu.parallel.mesh import (
+    make_mesh,
+    render_animation_sharded,
+    render_frame_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+SCENE = dict(screen_width=64, screen_height=32, max_steps=30)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"dp": 2, "sp": 4}
+    assert make_mesh(1).shape == {"dp": 1, "sp": 1}
+    assert make_mesh(8, shape=(1, 8)).shape == {"dp": 1, "sp": 8}
+
+
+def test_sharded_frame_equals_single_device():
+    scene = SceneParams(**SCENE)
+    cam = Camera.default()
+    mesh = make_mesh(8, shape=(1, 8))
+    sharded = np.asarray(render_frame_sharded(cam, scene, None, mesh))
+    single = np.asarray(BlackHoleRenderer(64, 32).render_frame(cam, scene))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_frame_with_texture_skybox(small_skybox):
+    scene = SceneParams(**SCENE)
+    cam = Camera.default()
+    mesh = make_mesh(8, shape=(1, 8))
+    packed = jnp.asarray(pack_texture_rgba8(small_skybox))
+    sharded = np.asarray(render_frame_sharded(cam, scene, packed, mesh))
+    single = np.asarray(
+        BlackHoleRenderer(64, 32, skybox=small_skybox).render_frame(cam, scene)
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_animation_dp_x_sp():
+    scene = SceneParams(**SCENE)
+    mesh = make_mesh(8)  # (2, 4)
+    times = jnp.arange(4, dtype=jnp.float32) / 60.0
+    frames, lums = render_animation_sharded(times, scene, None, mesh)
+    assert frames.shape == (4, 32, 64, 4)
+    assert lums.shape == (4,)
+    # frame content matches the single-device animator
+    from bhr_tpu.animation import OrbitAnimator
+
+    r = BlackHoleRenderer(64, 32)
+    ref = np.asarray(OrbitAnimator(r).render_frames(4, fps=60.0, scene=scene))
+    np.testing.assert_array_equal(np.asarray(frames), ref)
+    # luminance telemetry: psum-mean of the G channel over the full frame
+    g_mean = ref[..., 1].astype(np.float32).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(lums), g_mean, rtol=1e-5)
+
+
+def test_height_must_divide():
+    scene = SceneParams(screen_width=64, screen_height=33, max_steps=5)
+    mesh = make_mesh(8, shape=(1, 8))
+    with pytest.raises(ValueError):
+        render_frame_sharded(Camera.default(), scene, None, mesh)

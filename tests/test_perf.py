@@ -1,0 +1,78 @@
+"""Perf subsystem (reference main.rs:36-262): warmup exclusion, rolling
+stats, exact CSV schema."""
+
+import csv
+import os
+import time
+
+from bhr_tpu.utils.perf import CSV_HEADER, PerfLogger, PerformanceStats
+
+
+def test_warmup_frames_excluded():
+    s = PerformanceStats()
+    for _ in range(10):  # warm-up (main.rs:77: first 10 frames)
+        s.update_frame_time()
+    assert len(s.frame_times) == 0
+    assert s.current_fps == 0.0
+    s.update_frame_time()
+    assert len(s.frame_times) == 1
+
+
+def test_rolling_window_capped():
+    s = PerformanceStats(max_samples=5)
+    s.warmup_frames_remaining = 0
+    for _ in range(12):
+        s.update_frame_time()
+    assert len(s.frame_times) == 5
+
+
+def test_min_max_all_time():
+    s = PerformanceStats()
+    s.warmup_frames_remaining = 0
+    s.update_frame_time()
+    time.sleep(0.01)
+    s.update_frame_time()
+    time.sleep(0.002)
+    s.update_frame_time()
+    assert s.min_fps() <= s.max_fps()
+    assert s.max_fps() > 0
+
+
+def test_stats_formulas():
+    s = PerformanceStats()
+    s.frame_times.extend([10.0, 20.0])  # ms
+    assert abs(s.avg_fps() - 1000.0 / 15.0) < 1e-9
+    assert abs(s.std_dev_fps() - 5.0) < 1e-9  # population std of frame times
+    s.cpu_times.extend([1.0, 3.0])
+    assert s.avg_cpu_time() == 2.0
+    s.gpu_times.extend([2.0, 4.0])
+    assert s.avg_gpu_time() == 3.0
+
+
+def test_empty_stats_are_zero():
+    s = PerformanceStats()
+    assert s.avg_fps() == 0.0
+    assert s.min_fps() == 0.0  # inf sentinel -> 0 (main.rs:153-159)
+    assert s.std_dev_fps() == 0.0
+
+
+def test_perflogger_schema_and_rows(tmp_path):
+    logger = PerfLogger("testtag", directory=str(tmp_path))
+    s = PerformanceStats()
+    s.warmup_frames_remaining = 0
+    s.update_frame_time()
+    s.update_frame_time()
+    s.update_cpu_time(1.5)
+    s.update_gpu_time(2.5)
+    logger.log_frame(s)
+    logger.log_frame(s)
+    logger.close()
+    # filename pattern perf_log_<tag>_<timestamp>.csv (main.rs:211-212)
+    name = os.path.basename(logger.filename)
+    assert name.startswith("perf_log_testtag_") and name.endswith(".csv")
+    with open(logger.filename) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == CSV_HEADER  # exact 12-column schema (main.rs:217-230)
+    assert len(rows) == 3
+    assert rows[1][1] == "testtag"
+    assert float(rows[1][5]) == 2.5  # gpu_time_ms column
