@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--fast-math", action="store_true", help="approximate rsqrt/reciprocal in the hot loop")
     p.add_argument("--oracle", action="store_true", help="use the XLA oracle path instead of the Pallas kernel")
+    p.add_argument("--overlay", action="store_true",
+                   help="draw the perf overlay (and the heatmap legend with "
+                        "--debug-steps) onto saved frames — the egui GUI analog")
     return p
 
 
@@ -119,9 +122,15 @@ def main(argv=None) -> int:
             frame = renderer.render_frame(camera, scene, timestamp_query=q)
 
             if args.out:
+                host = np.asarray(jax.device_get(frame))
+                if args.overlay:
+                    from .utils.overlay import draw_legend_onto, draw_performance_overlay
+
+                    host = draw_performance_overlay(host, stats)
+                    if args.debug_steps:
+                        host = draw_legend_onto(host, max_steps=args.max_steps)
                 native.submit_frame(
-                    os.path.join(args.out, f"frame_{frame_idx:05d}.png"),
-                    np.asarray(jax.device_get(frame)),
+                    os.path.join(args.out, f"frame_{frame_idx:05d}.png"), host
                 )
 
             cpu_ms = (time.perf_counter() - cpu_start) * 1000.0
