@@ -29,7 +29,7 @@ def main():
     width = int(os.environ.get("BHR_BENCH_W", 1920))
     height = int(os.environ.get("BHR_BENCH_H", 1080))
     max_steps = int(os.environ.get("BHR_BENCH_STEPS", 500))
-    n_frames = int(os.environ.get("BHR_BENCH_FRAMES", 120))
+    n_frames = int(os.environ.get("BHR_BENCH_FRAMES", 240))
     tile_env = os.environ.get("BHR_BENCH_TILE")
     tile = tuple(int(x) for x in tile_env.split("x")) if tile_env else None
     fast_math = os.environ.get("BHR_BENCH_FAST", "1") == "1"

@@ -129,6 +129,7 @@ def build_kernel(
     fast_math: bool,
     early_exit_every: int = 1,
     track_steps: bool = True,
+    unroll: int = 1,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -233,6 +234,141 @@ def build_kernel(
         np_ = _vaxpy(rel, comb(k1p, k2p, k3p, k4p), sixth)
         nv = _vaxpy(vel, comb(k1v, k2v, k3v, k4v), sixth)
         return np_, nv
+
+    # Stateless fast kernel: freezing terminated rays with dt_eff = dt *
+    # stepping makes termination a pure function of geometry — a captured
+    # ray stays inside the capture sphere and an escaped ray stays outside
+    # the escape sphere, so the stepping mask re-derives itself from r^2
+    # every iteration. No status scratch, no VMEM traffic in the loop, no
+    # selects: the whole ray state lives in vector registers. Selected for
+    # euler + fast_math + no disk + no step tracking (the benchmark path);
+    # status is recovered from the final r^2 after the loop.
+    use_stateless = (
+        fast_math
+        and config.integrator == "euler"
+        and not config.disk
+        and not track_steps
+    )
+
+    def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):
+        gi = pl.program_id(0)
+        gj = pl.program_id(1)
+        cam = (params[_P_CAM], params[_P_CAM + 1], params[_P_CAM + 2])
+        fwd = (params[_P_FWD], params[_P_FWD + 1], params[_P_FWD + 2])
+        right = (params[_P_RIGHT], params[_P_RIGHT + 1], params[_P_RIGHT + 2])
+        up = (params[_P_UP], params[_P_UP + 1], params[_P_UP + 2])
+        bh = (params[_P_BH], params[_P_BH + 1], params[_P_BH + 2])
+        rs = params[_P_RS]
+        fov_factor = params[_P_FOVF]
+        spin = params[_P_SPIN]
+        base_dt = params[_P_DT]
+        esc2 = params[_P_ESC] * params[_P_ESC]
+        cap2 = params[_P_CAP] * params[_P_CAP]
+        wf = params[_P_WF]
+        hf = params[_P_HF]
+        aspect = params[_P_ASPECT]
+        row0 = params[_P_ROW0].astype(jnp.int32)
+        col0 = params[_P_COL0].astype(jnp.int32)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + gi * th + row0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + gj * tw + col0
+        u = (cols.astype(jnp.float32) / wf - 0.5) * 2.0 * aspect
+        v = (rows.astype(jnp.float32) / hf - 0.5) * -2.0
+        uf = u * fov_factor
+        vf = v * fov_factor
+        d = (
+            fwd[0] + right[0] * uf + up[0] * vf,
+            fwd[1] + right[1] * uf + up[1] * vf,
+            fwd[2] + right[2] * uf + up[2] * vf,
+        )
+        vel0 = _vnorm(_vnorm(d))
+        ones = jnp.ones((th, tw), jnp.float32)
+        rel0 = (cam[0] - bh[0] + 0.0 * ones, cam[1] - bh[1] + 0.0 * ones,
+                cam[2] - bh[2] + 0.0 * ones)
+
+        def body(carry):
+            i, relx, rely, relz, velx, vely, velz = carry
+            rel = (relx, rely, relz)
+            vel = (velx, vely, velz)
+            r2 = _vdot(rel, rel)
+            # in-bounds == still integrating; frozen rays stay out of bounds
+            stepping = (r2 <= esc2) & (r2 >= cap2)
+            m = stepping.astype(jnp.float32)
+            inv_r = jax.lax.rsqrt(r2)
+            if config.adaptive:
+                r = r2 * inv_r
+                dt_eff = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0) * m
+            else:
+                dt_eff = base_dt * m
+            if config.model == "flat":
+                nv = vel
+            else:
+                c = _vdot(vel, rel)
+                rs_inv_r = rs * inv_r
+                one_m = 1.0 - rs_inv_r
+                factor = rs * pl.reciprocal(2.0 * r2 * one_m, approx=True)
+                b1 = 1.0 - factor * one_m * dt_eff
+                b2 = factor * (1.0 + rs_inv_r) * c * (inv_r * inv_r) * dt_eff
+                nv = (
+                    vel[0] * b1 + rel[0] * b2,
+                    vel[1] * b1 + rel[1] * b2,
+                    vel[2] * b1 + rel[2] * b2,
+                )
+                if config.model == "kerr":
+                    # Lense-Thirring drag (models/kerr.py), dt_eff-gated
+                    mm = rs * 0.5
+                    j = spin * mm * mm
+                    inv_r3 = inv_r * inv_r * inv_r
+                    jr = rel[1] * inv_r  # J_hat . r_hat
+                    bgx = j * inv_r3 * (3.0 * jr * rel[0] * inv_r)
+                    bgy = j * inv_r3 * (3.0 * jr * rel[1] * inv_r - 1.0)
+                    bgz = j * inv_r3 * (3.0 * jr * rel[2] * inv_r)
+                    drag = _vcross(vel, (bgx, bgy, bgz))
+                    nv = _vaxpy(nv, drag, dt_eff)
+            new_rel = _vaxpy(rel, nv, dt_eff)
+            nv = _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
+            return (i + 1, new_rel[0], new_rel[1], new_rel[2], nv[0], nv[1], nv[2])
+
+        init = (jnp.int32(0), *rel0, *vel0)
+        if early_exit_every == 0:
+            carry = jax.lax.fori_loop(0, max_steps, lambda k, c: body(c), init,
+                                      unroll=unroll)
+        else:
+            n_inner = max(early_exit_every, 1)
+
+            def cond(carry):
+                rel = (carry[1], carry[2], carry[3])
+                r2 = _vdot(rel, rel)
+                return jnp.logical_and(
+                    carry[0] < max_steps,
+                    jnp.any((r2 <= esc2) & (r2 >= cap2)),
+                )
+
+            if max_steps % n_inner == 0:
+                def outer_body(carry):
+                    return jax.lax.fori_loop(
+                        0, n_inner, lambda k, c: body(c), carry, unroll=unroll
+                    )
+            else:
+                def outer_body(carry):
+                    n_this = jnp.minimum(jnp.int32(n_inner), max_steps - carry[0])
+                    return jax.lax.fori_loop(0, n_this, lambda k, c: body(c), carry)
+
+            carry = jax.lax.while_loop(cond, outer_body, init)
+
+        _, relx, rely, relz, velx, vely, velz = carry
+        r2 = relx * relx + rely * rely + relz * relz
+        px_o[:] = relx + bh[0]
+        py_o[:] = rely + bh[1]
+        pz_o[:] = relz + bh[2]
+        vx_o[:] = velx
+        vy_o[:] = vely
+        vz_o[:] = velz
+        status_o[:] = (
+            (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
+            + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
+        )
+        steps_o[:] = jnp.zeros((th, tw), jnp.int32)
 
     def kernel(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o, st_ref):
         gi = pl.program_id(0)
@@ -432,7 +568,7 @@ def build_kernel(
             carry = jax.lax.while_loop(cond, body, init)
         elif early_exit_every == 0:
             carry = jax.lax.fori_loop(
-                0, max_steps, lambda k, c: body(c), init
+                0, max_steps, lambda k, c: body(c), init, unroll=unroll
             )
         else:
             # outer while checks early exit; inner fixed-ish fori amortizes
@@ -442,11 +578,19 @@ def build_kernel(
                     carry[0] < max_steps, jnp.any(st_ref[:] == STATUS_RUNNING)
                 )
 
-            def outer_body(carry):
-                n_this = jnp.minimum(
-                    jnp.int32(early_exit_every), max_steps - carry[0]
-                )
-                return jax.lax.fori_loop(0, n_this, lambda k, c: body(c), carry)
+            if max_steps % early_exit_every == 0:
+                # static inner trip count -> unrollable
+                def outer_body(carry):
+                    return jax.lax.fori_loop(
+                        0, early_exit_every, lambda k, c: body(c), carry,
+                        unroll=unroll,
+                    )
+            else:
+                def outer_body(carry):
+                    n_this = jnp.minimum(
+                        jnp.int32(early_exit_every), max_steps - carry[0]
+                    )
+                    return jax.lax.fori_loop(0, n_this, lambda k, c: body(c), carry)
 
             carry = jax.lax.while_loop(outer_cond, outer_body, init)
         _, posx, posy, posz, velx, vely, velz, steps = carry
@@ -461,7 +605,9 @@ def build_kernel(
         status_o[:] = st_ref[:]
         steps_o[:] = steps
 
-    return kernel
+    if use_stateless:
+        return kernel_stateless, False  # (kernel_fn, needs_status_scratch)
+    return kernel, True
 
 
 def build_params(camera, scene, config: TraceConfig, row0=0, col0=0) -> jnp.ndarray:
@@ -513,7 +659,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps"),
+    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll"),
 )
 def _pallas_trace(
     params,
@@ -527,12 +673,15 @@ def _pallas_trace(
     interpret: bool,
     early_exit_every: int = 1,
     track_steps: bool = True,
+    unroll: int = 1,
 ):
     th, tw = tile
     hp = _round_up(height, th)
     wp = _round_up(width, tw)
     grid = (hp // th, wp // tw)
-    kernel = build_kernel(config, max_steps, tile, fast_math, early_exit_every, track_steps)
+    kernel, needs_scratch = build_kernel(
+        config, max_steps, tile, fast_math, early_exit_every, track_steps, unroll
+    )
     f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     i32 = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
     block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -549,7 +698,7 @@ def _pallas_trace(
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[block] * 8,
         out_shape=[f32] * 6 + [i32] * 2,
-        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)] if needs_scratch else [],
         cost_estimate=cost,
         interpret=interpret,
     )(params)
@@ -576,6 +725,7 @@ def pallas_trace_image(
     local_shape: tuple[int, int] | None = None,
     early_exit_every: int = DEFAULT_EARLY_EXIT_EVERY,
     track_steps: bool = True,
+    unroll: int = 1,
 ) -> TraceResult:
     """Trace every pixel of the scene's image with the Pallas kernel.
 
@@ -601,4 +751,5 @@ def pallas_trace_image(
         interpret=interpret,
         early_exit_every=early_exit_every,
         track_steps=track_steps,
+        unroll=unroll,
     )

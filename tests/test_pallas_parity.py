@@ -162,6 +162,42 @@ def test_fast_math_stays_close():
     )
 
 
+def test_stateless_fast_kernel_matches_exact():
+    """fast_math + no step tracking selects the stateless kernel (dt-freeze,
+    no status scratch); statuses must match the exact kernel everywhere and
+    directions stay within the fast-math budget."""
+    cam = Camera.new([0.0, 2.0, 30.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(screen_width=64, screen_height=48, max_steps=900)
+    exact = pallas_trace_image(cam, scene, TraceConfig(), interpret=True)
+    sl = pallas_trace_image(
+        cam, scene, TraceConfig(), interpret=True, fast_math=True, track_steps=False
+    )
+    se, ss = np.asarray(exact.status), np.asarray(sl.status)
+    np.testing.assert_array_equal(se, ss)
+    assert 2 in se  # the scene actually exercises capture
+    m = se != 2
+    np.testing.assert_allclose(
+        np.asarray(exact.final_vel)[m], np.asarray(sl.final_vel)[m], atol=2e-3
+    )
+
+
+def test_stateless_kernel_with_kerr_and_adaptive():
+    cam = Camera.new([0.0, 2.0, 30.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(
+        screen_width=48, screen_height=32, max_steps=400, spin=jnp.float32(0.9)
+    )
+    for cfg in (TraceConfig(model="kerr"), TraceConfig(adaptive=True)):
+        exact = pallas_trace_image(cam, scene, cfg, interpret=True)
+        sl = pallas_trace_image(
+            cam, scene, cfg, interpret=True, fast_math=True, track_steps=False
+        )
+        # the stateless kerr/adaptive arithmetic is algebraically
+        # restructured -> ulp differences amplify chaotically at the shadow
+        # boundary; require near-total agreement
+        same = (np.asarray(exact.status) == np.asarray(sl.status)).mean()
+        assert same >= 0.99, f"{cfg}: status agreement {same:.4f}"
+
+
 def test_track_steps_off_leaves_rest_identical():
     cam = Camera.default()
     scene = _scene()
