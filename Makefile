@@ -1,0 +1,41 @@
+# Task runner — the analog of the reference's justfile (reference:
+# justfile:8-104: setup/lab/run/build/test/fmt/lint/info/clean).
+
+PY ?= python
+
+.PHONY: all setup native run bench test lab fmt lint info clean
+
+all: native test
+
+# build the native C++ I/O runtime (auto-built on first use too)
+native:
+	$(MAKE) -s -C native
+
+# headless real-time animation (the reference's `just run`)
+run: native
+	$(PY) -m bhr_tpu.app --frames 120 --perf-log dev
+
+# headline benchmark -> one JSON line
+bench:
+	$(PY) bench.py
+
+# CPU test suite with 8 virtual devices
+test:
+	$(PY) -m pytest tests/ -q
+
+# JupyterLab with the rendering notebook (the reference's `just lab`)
+lab:
+	jupyter lab notebooks/
+
+fmt:
+	$(PY) -m black bhr_tpu tests *.py 2>/dev/null || echo "black not installed; skipping"
+
+lint:
+	$(PY) -m ruff check bhr_tpu tests 2>/dev/null || echo "ruff not installed; skipping"
+
+info:
+	$(PY) -c "import jax, bhr_tpu; print('bhr_tpu', bhr_tpu.__version__); print('jax', jax.__version__); print('devices', jax.devices())"
+
+clean:
+	$(MAKE) -s -C native clean
+	rm -rf .pytest_cache .jax_cache bhr_tpu/**/__pycache__ bhr_tpu/__pycache__ tests/__pycache__

@@ -159,16 +159,29 @@ class OrbitAnimator:
         start_frame: int = 0,
         chunk_size: int = 16,
         scene=None,
+        resume: bool = False,
     ) -> list[str]:
         """Chunked render -> PNG sequence via the native async writer.
 
-        Frames land as frame_{index:05d}.png; resumable by start_frame.
+        Frames land as frame_{index:05d}.png. With `resume=True`, frames
+        already on disk are skipped and rendering continues from the first
+        missing index — bit-exact, because the animation is a pure function
+        of frame index (the checkpoint/resume story of SURVEY.md §5: the
+        rendered frames ARE the checkpoints).
         """
         from .io import native
 
         os.makedirs(out_dir, exist_ok=True)
         paths = []
         done = 0
+        if resume:
+            while done < n_frames:
+                idx = start_frame + done
+                path = os.path.join(out_dir, f"frame_{idx:05d}.png")
+                if not os.path.exists(path):
+                    break
+                paths.append(path)
+                done += 1
         while done < n_frames:
             n = min(chunk_size, n_frames - done)
             frames = self.render_frames(n, fps, start_frame + done, scene, packed=True)

@@ -57,6 +57,27 @@ def test_render_to_dir_writes_sequence(tmp_path):
     np.testing.assert_array_equal(img, direct)
 
 
+def test_render_to_dir_resume_skips_existing(tmp_path):
+    _, anim, scene = _make()
+    anim.render_to_dir(str(tmp_path), 3, fps=60.0, chunk_size=2, scene=scene)
+    first = {p: os.path.getmtime(os.path.join(tmp_path, p)) for p in os.listdir(tmp_path)}
+    # resume to 6 frames: the first 3 are not re-rendered
+    paths = anim.render_to_dir(
+        str(tmp_path), 6, fps=60.0, chunk_size=2, scene=scene, resume=True
+    )
+    assert len(paths) == 6
+    assert len(os.listdir(tmp_path)) == 6
+    for name, mtime in first.items():
+        assert os.path.getmtime(os.path.join(tmp_path, name)) == mtime
+    # resumed tail matches a fresh full render bit-exactly
+    import numpy as np
+    from PIL import Image
+
+    fresh = np.asarray(anim.render_frames(6, fps=60.0, scene=scene))
+    got = np.asarray(Image.open(os.path.join(tmp_path, "frame_00005.png")).convert("RGBA"))
+    np.testing.assert_array_equal(got, fresh[5])
+
+
 def test_save_gif(tmp_path):
     _, anim, scene = _make()
     p = str(tmp_path / "orbit.gif")
