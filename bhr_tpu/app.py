@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--fast-math", action="store_true", help="approximate rsqrt/reciprocal in the hot loop")
     p.add_argument("--oracle", action="store_true", help="use the XLA oracle path instead of the Pallas kernel")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="debug logging (the env_logger analog, main.rs:1135)")
     p.add_argument("--overlay", action="store_true",
                    help="draw the perf overlay (and the heatmap legend with "
                         "--debug-steps) onto saved frames — the egui GUI analog")
@@ -63,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
 
     renderer = BlackHoleRenderer(
         args.width,

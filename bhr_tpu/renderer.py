@@ -28,6 +28,7 @@ from __future__ import annotations
 import asyncio
 import functools
 import inspect
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,8 @@ class TpuContext:
 # Reference-name alias: code written against the reference's `GpuContext`
 # keeps working.
 GpuContext = TpuContext
+
+logger = logging.getLogger("bhr_tpu")
 
 
 def _integrator_from_path(name: str) -> tuple[str, str]:
@@ -232,6 +235,13 @@ class BlackHoleRenderer:
         self.skybox_seed = int(skybox_seed)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
         self._last_frame = None
+        logger.info(
+            "BlackHoleRenderer %dx%d on %s: integrator=%s model=%s pallas=%s "
+            "tile=%s fast_math=%s skybox=%s",
+            self.width, self.height, self.context.device, self.config.integrator,
+            self.config.model, self.use_pallas, self.tile, self.fast_math,
+            "texture" if self.skybox is not None else "procedural",
+        )
 
     # -- constructors matching the reference API (lib.rs:339, 351) ---------
 
