@@ -198,6 +198,15 @@ class OrbitAnimator:
             raise IOError(f"{failures} frame write(s) failed under {out_dir}")
         return paths
 
+    def save_video(
+        self, path: str, n_frames: int, fps: float = 30.0, scene=None, quality: int = 90
+    ):
+        """Render + export an MJPEG AVI (pure Python; no ffmpeg needed)."""
+        from .io.video import write_mjpeg_avi
+
+        frames = np.asarray(jax.device_get(self.render_frames(n_frames, fps, 0, scene)))
+        write_mjpeg_avi(path, frames, fps=fps, quality=quality)
+
     def save_gif(self, path: str, n_frames: int, fps: float = 60.0, scene=None):
         """Small-animation convenience (PIL; no ffmpeg in the image)."""
         from PIL import Image

@@ -28,7 +28,6 @@ Outputs per pixel: final position (3 planes), final unit velocity
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +129,7 @@ def build_kernel(
     early_exit_every: int = 1,
     track_steps: bool = True,
     unroll: int = 1,
+    steps_per_check: int = 1,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -140,6 +140,21 @@ def build_kernel(
     results identical for every setting.
     """
     th, tw = tile
+    # turbo sub-stepping only applies to the stateless kernel with
+    # compatible loop bounds; silently fall back to 1 otherwise
+    if steps_per_check > 1:
+        ok = (
+            fast_math
+            and config.integrator == "euler"
+            and not config.disk
+            and not track_steps
+            and max_steps % steps_per_check == 0
+            and (early_exit_every == 0 or (
+                early_exit_every % steps_per_check == 0
+                and max_steps % early_exit_every == 0))
+        )
+        if not ok:
+            steps_per_check = 1
 
     if fast_math:
 
@@ -286,26 +301,20 @@ def build_kernel(
         rel0 = (cam[0] - bh[0] + 0.0 * ones, cam[1] - bh[1] + 0.0 * ones,
                 cam[2] - bh[2] + 0.0 * ones)
 
-        def body(carry):
-            i, relx, rely, relz, velx, vely, velz = carry
-            rel = (relx, rely, relz)
-            vel = (velx, vely, velz)
-            r2 = _vdot(rel, rel)
-            # in-bounds == still integrating; frozen rays stay out of bounds
-            stepping = (r2 <= esc2) & (r2 >= cap2)
-            m = stepping.astype(jnp.float32)
-            inv_r = jax.lax.rsqrt(r2)
-            if config.adaptive:
-                r = r2 * inv_r
-                dt_eff = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0) * m
-            else:
-                dt_eff = base_dt * m
+        def physics_substep(rel, vel, r2, inv_r, dt_eff, clamp_one_m):
+            """One Euler sub-step with folded coefficients; returns rel', v'."""
             if config.model == "flat":
                 nv = vel
             else:
                 c = _vdot(vel, rel)
                 rs_inv_r = rs * inv_r
                 one_m = 1.0 - rs_inv_r
+                if clamp_one_m:
+                    # turbo mode may evaluate a just-captured ray one extra
+                    # sub-step below the horizon where one_m <= 0 would blow
+                    # up; any live ray has one_m >= 1 - 1/1.05 = 0.0476, so
+                    # the clamp only ever touches doomed (black) rays
+                    one_m = jnp.maximum(one_m, 0.02)
                 # dt folded into factor: one plane-op fewer per coefficient
                 factor_dt = (rs * pl.reciprocal(2.0 * r2 * one_m, approx=True)) * dt_eff
                 b1 = 1.0 - factor_dt * one_m
@@ -328,14 +337,45 @@ def build_kernel(
                     nv = _vaxpy(nv, drag, dt_eff)
             new_rel = _vaxpy(rel, nv, dt_eff)
             nv = _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
-            return (i + 1, new_rel[0], new_rel[1], new_rel[2], nv[0], nv[1], nv[2])
+            return new_rel, nv
+
+        def body(carry):
+            i, relx, rely, relz, velx, vely, velz = carry
+            rel = (relx, rely, relz)
+            vel = (velx, vely, velz)
+            r2 = _vdot(rel, rel)
+            # in-bounds == still integrating; frozen rays stay out of bounds
+            stepping = (r2 <= esc2) & (r2 >= cap2)
+            m = stepping.astype(jnp.float32)
+            inv_r = jax.lax.rsqrt(r2)
+            if config.adaptive:
+                r = r2 * inv_r
+                dt_eff = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0) * m
+            else:
+                dt_eff = base_dt * m
+            rel, vel = physics_substep(
+                rel, vel, r2, inv_r, dt_eff, clamp_one_m=steps_per_check > 1
+            )
+            # turbo: extra sub-steps share one mask evaluation; a ray that
+            # terminates mid-group integrates <= steps_per_check-1 steps
+            # extra before freezing (boundary-pixel-level deviation)
+            for _ in range(steps_per_check - 1):
+                r2 = _vdot(rel, rel)
+                inv_r = jax.lax.rsqrt(r2)
+                rel, vel = physics_substep(
+                    rel, vel, r2, inv_r, dt_eff, clamp_one_m=True
+                )
+            return (i + jnp.int32(steps_per_check),
+                    rel[0], rel[1], rel[2], vel[0], vel[1], vel[2])
 
         init = (jnp.int32(0), *rel0, *vel0)
         if early_exit_every == 0:
-            carry = jax.lax.fori_loop(0, max_steps, lambda k, c: body(c), init,
-                                      unroll=unroll)
+            carry = jax.lax.fori_loop(
+                0, max_steps // steps_per_check, lambda k, c: body(c), init,
+                unroll=unroll,
+            )
         else:
-            n_inner = max(early_exit_every, 1)
+            n_inner = max(early_exit_every, 1) // steps_per_check
 
             def cond(carry):
                 rel = (carry[1], carry[2], carry[3])
@@ -660,7 +700,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll"),
+    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll", "steps_per_check"),
 )
 def _pallas_trace(
     params,
@@ -675,13 +715,15 @@ def _pallas_trace(
     early_exit_every: int = 1,
     track_steps: bool = True,
     unroll: int = 1,
+    steps_per_check: int = 1,
 ):
     th, tw = tile
     hp = _round_up(height, th)
     wp = _round_up(width, tw)
     grid = (hp // th, wp // tw)
     kernel, needs_scratch = build_kernel(
-        config, max_steps, tile, fast_math, early_exit_every, track_steps, unroll
+        config, max_steps, tile, fast_math, early_exit_every, track_steps,
+        unroll, steps_per_check,
     )
     f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     i32 = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
@@ -727,6 +769,7 @@ def pallas_trace_image(
     early_exit_every: int = DEFAULT_EARLY_EXIT_EVERY,
     track_steps: bool = True,
     unroll: int = 1,
+    steps_per_check: int = 1,
 ) -> TraceResult:
     """Trace every pixel of the scene's image with the Pallas kernel.
 
@@ -753,4 +796,5 @@ def pallas_trace_image(
         early_exit_every=early_exit_every,
         track_steps=track_steps,
         unroll=unroll,
+        steps_per_check=steps_per_check,
     )

@@ -24,10 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-import functools
-
 from ..core.camera import generate_rays, orbit_camera
-from ..models.disk import DiskParams
 from ..ops.pallas_trace import pallas_trace_image
 from ..ops.sampling import sample_equirect_packed, unpack_frame
 from ..ops.shading import shade_planes_packed

@@ -41,10 +41,9 @@ from .io.skybox import load_skybox
 from .models.disk import DiskParams, blackbody_lut
 from .ops import display as display_ops
 from .ops.pallas_trace import pallas_trace_image, pick_tile
-from .ops.shading import shade, shade_planes_packed
+from .ops.shading import shade_planes_packed
 from .ops.sampling import (
     pack_texture_rgba8,
-    quantize_rgba8,
     sample_equirect_packed,
     unpack_frame,
 )
