@@ -470,12 +470,61 @@ def build_kernel(
         # runaway NaN rel is never read.
         use_fused = (
             fast_math
-            and config.integrator == "euler"
+            and config.integrator in ("euler", "rk4")
             and config.model in ("schwarzschild", "flat")
         )
         esc2 = escape_r * escape_r
         cap2 = capture_r * capture_r
         freeze_rel = config.disk  # hit positions consumed downstream
+
+        def fast_deriv(p, v):
+            """d(p,v)/dl = (v, a) with a folded to a2*p - a1*v (fast form).
+
+            one_m is clamped so RK4 substeps that probe just inside the
+            horizon (only about-to-be-captured rays do) stay finite; live
+            rays always have one_m >= 1 - 1/1.05.
+            """
+            rr2 = _vdot(p, p)
+            inv_rr = jax.lax.rsqrt(rr2)
+            rs_inv = rs * inv_rr
+            one_m = jnp.maximum(1.0 - rs_inv, 0.02)
+            factor = rs * pl.reciprocal(2.0 * rr2 * one_m, approx=True)
+            c = _vdot(v, p)
+            a1 = factor * one_m
+            a2 = factor * (1.0 + rs_inv) * c * (inv_rr * inv_rr)
+            return (
+                p[0] * a2 - v[0] * a1,
+                p[1] * a2 - v[1] * a1,
+                p[2] * a2 - v[2] * a1,
+            )
+
+        def fast_rk4(rel, vel, dt):
+            """Classic RK4 with the folded acceleration (4 derivs)."""
+            if config.model == "flat":
+                return _vaxpy(rel, vel, dt), vel
+            half = 0.5 * dt
+            k1v = fast_deriv(rel, vel)
+            p2 = _vaxpy(rel, vel, half)
+            v2 = _vaxpy(vel, k1v, half)
+            k2v = fast_deriv(p2, v2)
+            p3 = _vaxpy(rel, v2, half)
+            v3 = _vaxpy(vel, k2v, half)
+            k3v = fast_deriv(p3, v3)
+            p4 = _vaxpy(rel, v3, dt)
+            v4 = _vaxpy(vel, k3v, dt)
+            k4v = fast_deriv(p4, v4)
+            sixth = dt * (1.0 / 6.0)
+            kp = (
+                vel[0] + 2.0 * (v2[0] + v3[0]) + v4[0],
+                vel[1] + 2.0 * (v2[1] + v3[1]) + v4[1],
+                vel[2] + 2.0 * (v2[2] + v3[2]) + v4[2],
+            )
+            kv = (
+                k1v[0] + 2.0 * (k2v[0] + k3v[0]) + k4v[0],
+                k1v[1] + 2.0 * (k2v[1] + k3v[1]) + k4v[1],
+                k1v[2] + 2.0 * (k2v[2] + k3v[2]) + k4v[2],
+            )
+            return _vaxpy(rel, kp, sixth), _vaxpy(vel, kv, sixth)
 
         def body_fast(carry):
             i, relx, rely, relz, velx, vely, velz, steps = carry
@@ -496,8 +545,11 @@ def build_kernel(
                 dt = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0)
             else:
                 dt = base_dt
-            if config.model == "flat":
+            if config.integrator == "rk4":
+                new_rel, nv = fast_rk4(rel, vel, dt)
+            elif config.model == "flat":
                 nv = vel
+                new_rel = _vaxpy(rel, nv, dt)
             else:
                 c = _vdot(vel, rel)
                 rs_inv_r = rs * inv_r
@@ -510,7 +562,7 @@ def build_kernel(
                     vel[1] * b1 + rel[1] * b2,
                     vel[2] * b1 + rel[2] * b2,
                 )
-            new_rel = _vaxpy(rel, nv, dt)
+                new_rel = _vaxpy(rel, nv, dt)
             nv = _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
 
             if config.disk:

@@ -109,6 +109,20 @@ def test_kernel_matches_oracle_weak_field_tight():
     )
 
 
+def test_odd_image_sizes_pad_and_slice_correctly():
+    """Non-tile-multiple sizes exercise the pad/slice path; compare to the
+    same rows/cols of a larger aligned render (identical ray-gen because
+    UVs reference full image dims — here both renders use THEIR OWN dims,
+    so compare against the oracle instead)."""
+    cam = Camera.default()
+    for (w, h) in ((37, 23), (130, 9), (127, 16)):
+        scene = SceneParams(screen_width=w, screen_height=h, max_steps=50)
+        res_p = pallas_trace_image(cam, scene, TraceConfig(), interpret=True)
+        res_o = _oracle(cam, scene, TraceConfig())
+        assert res_p.status.shape == (h, w)
+        _assert_match_chaotic(res_p, res_o, frac=0.99)
+
+
 def test_early_exit_frequency_invariance():
     """Masked updates make results identical for any check frequency."""
     cam = Camera.default()
