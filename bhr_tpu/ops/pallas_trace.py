@@ -130,6 +130,8 @@ def build_kernel(
     track_steps: bool = True,
     unroll: int = 1,
     steps_per_check: int = 1,
+    shade_inline: bool = False,
+    shade_seed: int = 2020,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -265,7 +267,8 @@ def build_kernel(
         and not track_steps
     )
 
-    def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):
+    def _stateless_trace(params):
+        """Shared stateless trace loop -> (rel, vel, final r2, bh, cap2, esc2)."""
         gi = pl.program_id(0)
         gj = pl.program_id(1)
         cam = (params[_P_CAM], params[_P_CAM + 1], params[_P_CAM + 2])
@@ -399,17 +402,45 @@ def build_kernel(
 
         _, relx, rely, relz, velx, vely, velz = carry
         r2 = relx * relx + rely * rely + relz * relz
-        px_o[:] = relx + bh[0]
-        py_o[:] = rely + bh[1]
-        pz_o[:] = relz + bh[2]
-        vx_o[:] = velx
-        vy_o[:] = vely
-        vz_o[:] = velz
+        return (relx, rely, relz), (velx, vely, velz), r2, bh, cap2, esc2
+
+    def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):
+        rel, vel, r2, bh, cap2, esc2 = _stateless_trace(params)
+        px_o[:] = rel[0] + bh[0]
+        py_o[:] = rel[1] + bh[1]
+        pz_o[:] = rel[2] + bh[2]
+        vx_o[:] = vel[0]
+        vy_o[:] = vel[1]
+        vz_o[:] = vel[2]
         status_o[:] = (
             (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
             + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
         )
         steps_o[:] = jnp.zeros((th, tw), jnp.int32)
+
+    def kernel_monolithic(params, frame_o):
+        """Trace + shade fused in one kernel: a single packed-u32 RGBA
+        output plane per tile (analytic cube-hash background; captured rays
+        black). Skips ~8 HBM output planes and the separate XLA shading
+        dispatch on the fast path."""
+        from .starfield import procedural_background
+
+        rel, vel, r2, bh, cap2, esc2 = _stateless_trace(params)
+        r, g, b = procedural_background(vel[0], vel[1], vel[2], seed=shade_seed)
+        live = (r2 >= cap2).astype(jnp.float32)
+        # round-half-up quantization (Mosaic has no round-to-even; within
+        # the fast tier's tolerance vs the epilogue's jnp.round)
+        def q(c):
+            # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast
+            return (
+                jnp.floor(jnp.clip(c * live, 0.0, 1.0) * 255.0 + 0.5)
+                .astype(jnp.int32)
+                .astype(jnp.uint32)
+            )
+
+        frame_o[:] = (
+            q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
+        )
 
     def kernel(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o, st_ref):
         gi = pl.program_id(0)
@@ -698,6 +729,10 @@ def build_kernel(
         status_o[:] = st_ref[:]
         steps_o[:] = steps
 
+    if shade_inline:
+        if not use_stateless:
+            raise ValueError("shade_inline requires the stateless fast path")
+        return kernel_monolithic, False
     if use_stateless:
         return kernel_stateless, False  # (kernel_fn, needs_status_scratch)
     return kernel, True
@@ -804,6 +839,94 @@ def _pallas_trace(
     final_vel = jnp.stack([velx, vely, velz], axis=-1)
     return TraceResult(
         final_pos=final_pos, final_vel=final_vel, status=status, steps=steps
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_steps", "config", "tile", "early_exit_every",
+        "unroll", "steps_per_check", "seed", "interpret",
+    ),
+)
+def _pallas_render_mono(
+    params,
+    *,
+    width: int,
+    height: int,
+    max_steps: int,
+    config: TraceConfig,
+    tile,
+    early_exit_every: int,
+    unroll: int,
+    steps_per_check: int,
+    seed: int,
+    interpret: bool,
+):
+    th, tw = tile
+    hp = _round_up(height, th)
+    wp = _round_up(width, tw)
+    grid = (hp // th, wp // tw)
+    kernel, _ = build_kernel(
+        config, max_steps, tile, True, early_exit_every, False,
+        unroll, steps_per_check, shade_inline=True, shade_seed=seed,
+    )
+    block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=hp * wp * max_steps * 40,
+        bytes_accessed=hp * wp * 4,
+        transcendentals=hp * wp * max_steps * 2,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(params)
+    return out[:height, :width]
+
+
+def pallas_render_packed(
+    camera,
+    scene,
+    config: TraceConfig = TraceConfig(),
+    *,
+    seed: int = 2020,
+    tile=None,
+    interpret: bool | None = None,
+    early_exit_every: int = DEFAULT_EARLY_EXIT_EVERY,
+    unroll: int = 1,
+    steps_per_check: int = 1,
+    row0=0,
+    col0=0,
+    local_shape: tuple[int, int] | None = None,
+):
+    """Monolithic fast path: trace + analytic shading fused in one Pallas
+    kernel -> packed u32 (H, W) frame. Requires the stateless-kernel
+    conditions (euler, fast math, no disk, no step tracking, procedural
+    background, passthrough tonemap); callers fall back to
+    pallas_trace_image + the XLA epilogue otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = local_shape or (scene.screen_height, scene.screen_width)
+    if tile is None:
+        tile = pick_tile(width)
+    params = build_params(camera, scene, config, row0=row0, col0=col0)
+    return _pallas_render_mono(
+        params,
+        width=width,
+        height=height,
+        max_steps=scene.max_steps,
+        config=config,
+        tile=tuple(tile),
+        early_exit_every=early_exit_every,
+        unroll=unroll,
+        steps_per_check=steps_per_check,
+        seed=seed,
+        interpret=interpret,
     )
 
 
