@@ -23,7 +23,7 @@ from .core.scene import (
     ESCAPE_RADIUS,
     SceneParams,
 )
-from .animation import OrbitAnimator
+from .animation import OrbitAnimator, PathAnimator
 from .ops.display import QUAD_VERTICES, Vertex
 from .ops.pallas_trace import pallas_trace_image
 from .ops.trace import TraceConfig, TraceResult, trace_rays
@@ -49,6 +49,7 @@ __all__ = [
     "ESCAPE_RADIUS",
     "GpuContext",
     "OrbitAnimator",
+    "PathAnimator",
     "PerfLogger",
     "PerformanceStats",
     "QUAD_VERTICES",

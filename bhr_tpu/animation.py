@@ -41,6 +41,7 @@ APP_MAX_STEPS = 200
         "interpret",
         "seed",
         "packed",
+        "camera_fn",
     ),
 )
 def render_frames_scan(
@@ -49,7 +50,7 @@ def render_frames_scan(
     skybox,
     disk_params,
     lut,
-    orbit,
+    orbit=None,
     *,
     config,
     use_pallas,
@@ -59,21 +60,28 @@ def render_frames_scan(
     interpret,
     seed=2020,
     packed=False,
+    camera_fn=None,
 ):
     """Render frames at `times` (fp32[F]) in one fused lax.scan.
 
-    `orbit` is (rotation_speed, radius, height) as traced scalars. Returns
-    uint8 (F, H, W, 4) — or packed u32 (F, H, W) when `packed` — all frames
-    rendered on device with no host sync. Internally the scan carries the
-    packed-u32 frame format (well-tiled planes); the uint8 view is a single
-    bitcast at the end.
+    The camera path is either the reference orbit — `orbit` =
+    (rotation_speed, radius, height) as traced scalars — or an arbitrary
+    jax-traceable `camera_fn(t) -> Camera` (static; a new function object
+    retraces). Returns uint8 (F, H, W, 4) — or packed u32 (F, H, W) when
+    `packed` — all frames rendered on device with no host sync. Internally
+    the scan carries the packed-u32 frame format (well-tiled planes); the
+    uint8 view is a single bitcast at the end.
     """
     from .ops.sampling import unpack_frame
 
-    speed, radius, height = orbit
+    if camera_fn is None:
+        speed, radius, height = orbit
+
+        def camera_fn(t):
+            return orbit_camera(t, radius=radius, height=height, rotation_speed=speed)
 
     def step(carry, t):
-        cam = orbit_camera(t, radius=radius, height=height, rotation_speed=speed)
+        cam = camera_fn(t)
         frame = render_image(
             cam,
             scene,
@@ -95,20 +103,20 @@ def render_frames_scan(
     return frames if packed else unpack_frame(frames)
 
 
-class OrbitAnimator:
-    """Orbiting-camera animation driver around a BlackHoleRenderer."""
+class PathAnimator:
+    """Animation driver over an arbitrary camera path.
 
-    def __init__(
-        self,
-        renderer: BlackHoleRenderer,
-        rotation_speed: float = 0.3,  # main.rs:853
-        radius: float = 15.0,  # main.rs:854
-        height: float = 5.0,  # main.rs:855
-    ):
+    `camera_fn(t) -> Camera` must be jax-traceable (pure jnp); the whole
+    animation still fuses into one on-device lax.scan. Generalizes the
+    reference's hardcoded orbit (main.rs:851-869).
+    """
+
+    def __init__(self, renderer: BlackHoleRenderer, camera_fn):
         self.renderer = renderer
-        self.rotation_speed = rotation_speed
-        self.radius = radius
-        self.height = height
+        self.camera_fn = camera_fn
+
+    def _scan_kwargs(self):
+        return dict(camera_fn=self.camera_fn)
 
     def frame_times(self, n_frames: int, fps: float = 60.0, start_frame: int = 0):
         idx = jnp.arange(start_frame, start_frame + n_frames, dtype=jnp.float32)
@@ -129,18 +137,12 @@ class OrbitAnimator:
         disk_params = (
             DiskParams.for_scene(scene.schwarzschild_radius) if r.config.disk else None
         )
-        orbit = (
-            jnp.float32(self.rotation_speed),
-            jnp.float32(self.radius),
-            jnp.float32(self.height),
-        )
         return render_frames_scan(
             self.frame_times(n_frames, fps, start_frame),
             scene,
             r.skybox,
             disk_params,
             r._lut,
-            orbit,
             config=r.config,
             use_pallas=r.use_pallas,
             tile=r.tile,
@@ -149,6 +151,7 @@ class OrbitAnimator:
             interpret=r.interpret,
             seed=r.skybox_seed,
             packed=packed,
+            **self._scan_kwargs(),
         )
 
     def render_to_dir(
@@ -220,3 +223,28 @@ class OrbitAnimator:
             duration=int(1000.0 / fps),
             loop=0,
         )
+
+
+class OrbitAnimator(PathAnimator):
+    """Orbiting-camera animation driver (the reference app's path)."""
+
+    def __init__(
+        self,
+        renderer: BlackHoleRenderer,
+        rotation_speed: float = 0.3,  # main.rs:853
+        radius: float = 15.0,  # main.rs:854
+        height: float = 5.0,  # main.rs:855
+    ):
+        super().__init__(renderer, camera_fn=None)
+        self.rotation_speed = rotation_speed
+        self.radius = radius
+        self.height = height
+
+    def _scan_kwargs(self):
+        orbit = (
+            jnp.float32(self.rotation_speed),
+            jnp.float32(self.radius),
+            jnp.float32(self.height),
+        )
+        return dict(orbit=orbit)
+

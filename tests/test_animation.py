@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bhr_tpu import BlackHoleRenderer, SceneParams, orbit_camera
-from bhr_tpu.animation import APP_MAX_STEPS, OrbitAnimator
+from bhr_tpu.animation import APP_MAX_STEPS, OrbitAnimator, PathAnimator
 
 SCENE = dict(screen_width=32, screen_height=16, max_steps=40)
 
@@ -86,3 +86,20 @@ def test_save_gif(tmp_path):
 
     g = Image.open(p)
     assert g.n_frames == 3
+
+
+def test_path_animator_custom_camera():
+    from bhr_tpu import Camera
+
+    r = BlackHoleRenderer(32, 16)
+    scene = SceneParams(**SCENE)
+
+    def flyin(t):
+        pos = jnp.stack([15.0 - t * 2.0, jnp.zeros_like(t) + 5.0, jnp.zeros_like(t)])
+        return Camera.new(pos, jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]))
+
+    frames = np.asarray(PathAnimator(r, flyin).render_frames(3, fps=60.0, scene=scene))
+    assert frames.shape == (3, 16, 32, 4)
+    # frame 0 must equal a direct render from the same camera
+    direct = np.asarray(r.render_frame(flyin(jnp.float32(0.0)), scene))
+    np.testing.assert_array_equal(frames[0], direct)
