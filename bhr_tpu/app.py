@@ -128,7 +128,13 @@ def main(argv=None) -> int:
             camera = orbit_camera(t)
 
             q = TimestampQuery()
-            frame = renderer.render_frame(camera, scene, timestamp_query=q)
+            try:
+                frame = renderer.render_frame(camera, scene, timestamp_query=q)
+            except jax.errors.JaxRuntimeError as e:
+                # device-loss analog of the reference's SurfaceError
+                # handling (main.rs:1113-1117): log and exit, don't hang
+                print(f"Device error, exiting: {e}")
+                return 1
 
             if args.out:
                 host = np.asarray(jax.device_get(frame))

@@ -112,6 +112,20 @@ def test_photon_sphere_capture_region():
     assert status_for_b(12.0) == STATUS_ESCAPED
 
 
+def test_critical_impact_parameter_bounds():
+    """The capture/escape boundary of the approximate physics sits between
+    b = 4 and b = 5 (rs = 2, launched from x = 50) — pinned so integrator
+    changes that move the shadow edge get caught. (True GR: b_crit =
+    3*sqrt(3)/2 * rs ~ 5.196; the approximate Cartesian equation captures
+    slightly less.)"""
+    def status_for_b(b):
+        res = _trace_single([50.0, b, 0.0], [-1.0, 0.0, 0.0], rs=2.0, max_steps=5000)
+        return int(res.status[0])
+
+    assert status_for_b(4.0) == STATUS_CAPTURED
+    assert status_for_b(5.0) == STATUS_ESCAPED
+
+
 def test_azimuthal_symmetry():
     # the scene is rotationally symmetric about Y: rotating the launch
     # condition by 90deg about Y rotates the exit direction identically
