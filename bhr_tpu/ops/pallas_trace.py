@@ -43,7 +43,6 @@ from .trace import (
     TraceResult,
 )
 
-DEFAULT_TILE = (8, 256)
 DEFAULT_EARLY_EXIT_EVERY = 64
 
 

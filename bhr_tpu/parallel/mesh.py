@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.camera import generate_rays, orbit_camera
-from ..ops.pallas_trace import pallas_trace_image
+from ..ops.pallas_trace import pallas_render_packed, pallas_trace_image
 from ..ops.sampling import sample_equirect_packed, unpack_frame
 from ..ops.shading import shade_planes_packed
 from ..ops.starfield import procedural_background
@@ -74,6 +74,21 @@ def _render_band(
     """
     from ..ops.display import TONEMAPS
 
+    monolithic_ok = (
+        use_pallas
+        and fast_math
+        and skybox is None
+        and disk_params is None
+        and not config.disk
+        and config.integrator == "euler"
+        and scene.debug_mode == 0
+        and tonemap == "passthrough"
+    )
+    if monolithic_ok:
+        return pallas_render_packed(
+            camera, scene, config, tile=tile, interpret=interpret,
+            row0=row0, local_shape=(band_h, scene.screen_width),
+        )
     if use_pallas:
         result = pallas_trace_image(
             camera,
@@ -132,7 +147,7 @@ def render_frame_sharded(
     disk_params=None,
     lut=None,
     use_pallas: bool | None = None,
-    tile=(8, 128),
+    tile=None,
     fast_math: bool = False,
     tonemap: str = "passthrough",
     interpret: bool | None = None,
@@ -182,7 +197,7 @@ def render_animation_sharded(
     disk_params=None,
     lut=None,
     use_pallas: bool | None = None,
-    tile=(8, 128),
+    tile=None,
     fast_math: bool = False,
     tonemap: str = "passthrough",
     interpret: bool | None = None,
