@@ -130,16 +130,12 @@ def trace_rays(
             hit = hit & stepping
             new_pos = jnp.where(hit[..., None], hit_rel + bh_pos, new_pos)
             status = jnp.where(hit, STATUS_DISK, status)
-            stepping_after = stepping & ~hit
-        else:
-            stepping_after = stepping
 
         m3 = stepping[..., None]
         pos = jnp.where(m3, new_pos, pos)
         vel = jnp.where(m3, new_vel_n, vel)
         status = jnp.where(escaped, STATUS_ESCAPED, status)
         status = jnp.where(captured, STATUS_CAPTURED, status)
-        del stepping_after  # (disk hits already recorded in status)
         return i + 1, pos, vel, status, steps
 
     _, pos, vel, status, steps = jax.lax.while_loop(
