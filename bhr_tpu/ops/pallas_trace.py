@@ -256,15 +256,72 @@ def build_kernel(
     # ray stays inside the capture sphere and an escaped ray stays outside
     # the escape sphere, so the stepping mask re-derives itself from r^2
     # every iteration. No status scratch, no VMEM traffic in the loop, no
-    # selects: the whole ray state lives in vector registers. Selected for
-    # euler + fast_math + no disk + no step tracking (the benchmark path);
-    # status is recovered from the final r^2 after the loop.
-    use_stateless = (
-        fast_math
-        and config.integrator == "euler"
-        and not config.disk
-        and not track_steps
-    )
+    # selects: the whole ray state lives in vector registers. Disk hits
+    # join the same scheme by TELEPORTING the ray to a sentinel position
+    # outside the escape sphere (y = 2.5 * escape_r) that encodes the hit
+    # point in x/z; rk4 works because dt_eff = 0 zeroes every k. Selected
+    # for fast_math + no step tracking; status is recovered from the final
+    # geometry after the loop.
+    use_stateless = fast_math and not track_steps
+
+    def sl_deriv(p, v, rs, spin, clamp_one_m):
+        """Folded-acceleration derivative for the stateless rk4 path."""
+        rr2 = _vdot(p, p)
+        inv_rr = jax.lax.rsqrt(rr2)
+        rs_inv = rs * inv_rr
+        one_m = 1.0 - rs_inv
+        if clamp_one_m:
+            one_m = jnp.maximum(one_m, 0.02)
+        factor = rs * pl.reciprocal(2.0 * rr2 * one_m, approx=True)
+        c = _vdot(v, p)
+        a1 = factor * one_m
+        a2 = factor * (1.0 + rs_inv) * c * (inv_rr * inv_rr)
+        a = (
+            p[0] * a2 - v[0] * a1,
+            p[1] * a2 - v[1] * a1,
+            p[2] * a2 - v[2] * a1,
+        )
+        if config.model == "kerr":
+            mm = rs * 0.5
+            j = spin * mm * mm
+            inv_r3 = inv_rr * inv_rr * inv_rr
+            jr = p[1] * inv_rr
+            bg = (
+                j * inv_r3 * (3.0 * jr * p[0] * inv_rr),
+                j * inv_r3 * (3.0 * jr * p[1] * inv_rr - 1.0),
+                j * inv_r3 * (3.0 * jr * p[2] * inv_rr),
+            )
+            a = _vadd(a, _vcross(v, bg))
+        return a
+
+    def sl_rk4(rel, vel, dt, rs, spin):
+        """Classic RK4 on (rel, vel); substeps clamp one_m (they may probe
+        just inside the horizon for about-to-be-captured rays)."""
+        half = 0.5 * dt
+        k1v = sl_deriv(rel, vel, rs, spin, True)
+        p2 = _vaxpy(rel, vel, half)
+        v2 = _vaxpy(vel, k1v, half)
+        k2v = sl_deriv(p2, v2, rs, spin, True)
+        p3 = _vaxpy(rel, v2, half)
+        v3 = _vaxpy(vel, k2v, half)
+        k3v = sl_deriv(p3, v3, rs, spin, True)
+        p4 = _vaxpy(rel, v3, dt)
+        v4 = _vaxpy(vel, k3v, dt)
+        k4v = sl_deriv(p4, v4, rs, spin, True)
+        sixth = dt * (1.0 / 6.0)
+        kp = (
+            vel[0] + 2.0 * (v2[0] + v3[0]) + v4[0],
+            vel[1] + 2.0 * (v2[1] + v3[1]) + v4[1],
+            vel[2] + 2.0 * (v2[2] + v3[2]) + v4[2],
+        )
+        kv = (
+            k1v[0] + 2.0 * (k2v[0] + k3v[0]) + k4v[0],
+            k1v[1] + 2.0 * (k2v[1] + k3v[1]) + k4v[1],
+            k1v[2] + 2.0 * (k2v[2] + k3v[2]) + k4v[2],
+        )
+        new_rel = _vaxpy(rel, kp, sixth)
+        nv = _vaxpy(vel, kv, sixth)
+        return new_rel, _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
 
     def _stateless_trace(params):
         """Shared stateless trace loop -> (rel, vel, final r2, bh, cap2, esc2)."""
@@ -279,7 +336,8 @@ def build_kernel(
         fov_factor = params[_P_FOVF]
         spin = params[_P_SPIN]
         base_dt = params[_P_DT]
-        esc2 = params[_P_ESC] * params[_P_ESC]
+        escape_r_param = params[_P_ESC]
+        esc2 = escape_r_param * escape_r_param
         cap2 = params[_P_CAP] * params[_P_CAP]
         wf = params[_P_WF]
         hf = params[_P_HF]
@@ -341,6 +399,10 @@ def build_kernel(
             nv = _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
             return new_rel, nv
 
+        disk_sentinel_y = 2.5 * escape_r_param
+        r_isco = params[_P_RISCO]
+        r_outer = params[_P_ROUTER]
+
         def body(carry):
             i, relx, rely, relz, velx, vely, velz = carry
             rel = (relx, rely, relz)
@@ -355,9 +417,29 @@ def build_kernel(
                 dt_eff = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0) * m
             else:
                 dt_eff = base_dt * m
-            rel, vel = physics_substep(
-                rel, vel, r2, inv_r, dt_eff, clamp_one_m=steps_per_check > 1
-            )
+            old_rel = rel
+            if config.integrator == "rk4":
+                rel, vel = sl_rk4(rel, vel, dt_eff, rs, spin)
+            else:
+                rel, vel = physics_substep(
+                    rel, vel, r2, inv_r, dt_eff, clamp_one_m=steps_per_check > 1
+                )
+            if config.disk:
+                # equatorial crossing in the annulus -> teleport to the
+                # sentinel: y = 2.5 * escape_r marks "disk hit", x/z keep
+                # the hit point, and the ray self-freezes (it now sits
+                # outside the escape sphere). Frozen/sentinel rays never
+                # re-trigger (oy * ny = oy^2 >= 0).
+                oy, ny = old_rel[1], rel[1]
+                crosses = oy * ny < 0.0
+                tt = -oy * pl.reciprocal(
+                    jnp.where(crosses, ny - oy, 1.0), approx=True
+                )
+                hx = old_rel[0] + tt * (rel[0] - old_rel[0])
+                hz = old_rel[2] + tt * (rel[2] - old_rel[2])
+                hr2 = hx * hx + hz * hz
+                hit = crosses & (hr2 >= r_isco * r_isco) & (hr2 <= r_outer * r_outer)
+                rel = _vwhere(hit, (hx, jnp.zeros_like(hx) + disk_sentinel_y, hz), rel)
             # turbo: extra sub-steps share one mask evaluation; a ray that
             # terminates mid-group integrates <= steps_per_check-1 steps
             # extra before freezing (boundary-pixel-level deviation)
@@ -401,20 +483,37 @@ def build_kernel(
 
         _, relx, rely, relz, velx, vely, velz = carry
         r2 = relx * relx + rely * rely + relz * relz
-        return (relx, rely, relz), (velx, vely, velz), r2, bh, cap2, esc2
+        disk_thresh = 1.5 * escape_r_param  # sentinel y = 2.5 * escape_r
+        return (relx, rely, relz), (velx, vely, velz), r2, bh, cap2, esc2, disk_thresh
 
     def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):
-        rel, vel, r2, bh, cap2, esc2 = _stateless_trace(params)
-        px_o[:] = rel[0] + bh[0]
-        py_o[:] = rel[1] + bh[1]
-        pz_o[:] = rel[2] + bh[2]
+        rel, vel, r2, bh, cap2, esc2, disk_thresh = _stateless_trace(params)
+        if config.disk:
+            is_disk = rel[1] > disk_thresh
+            px_o[:] = rel[0] + bh[0]
+            # disk-hit rays sit at the y-sentinel; their real y is 0
+            py_o[:] = jnp.where(is_disk, jnp.zeros_like(rel[1]), rel[1]) + bh[1]
+            pz_o[:] = rel[2] + bh[2]
+            disk_i = is_disk.astype(jnp.int32)
+            status_o[:] = (
+                disk_i * STATUS_DISK
+                + (1 - disk_i)
+                * (
+                    (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
+                    + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
+                )
+            )
+        else:
+            px_o[:] = rel[0] + bh[0]
+            py_o[:] = rel[1] + bh[1]
+            pz_o[:] = rel[2] + bh[2]
+            status_o[:] = (
+                (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
+                + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
+            )
         vx_o[:] = vel[0]
         vy_o[:] = vel[1]
         vz_o[:] = vel[2]
-        status_o[:] = (
-            (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
-            + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
-        )
         steps_o[:] = jnp.zeros((th, tw), jnp.int32)
 
     def kernel_monolithic(params, frame_o):
@@ -424,7 +523,7 @@ def build_kernel(
         dispatch on the fast path."""
         from .starfield import procedural_background
 
-        rel, vel, r2, bh, cap2, esc2 = _stateless_trace(params)
+        rel, vel, r2, bh, cap2, esc2, _ = _stateless_trace(params)
         r, g, b = procedural_background(vel[0], vel[1], vel[2], seed=shade_seed)
         live = (r2 >= cap2).astype(jnp.float32)
         # round-half-up quantization (Mosaic has no round-to-even; within

@@ -212,6 +212,30 @@ def test_stateless_kernel_with_kerr_and_adaptive():
         assert same >= 0.99, f"{cfg}: status agreement {same:.4f}"
 
 
+def test_stateless_disk_sentinel_matches_exact():
+    """Disk hits in the stateless kernel (sentinel-teleport freeze) must
+    reproduce the exact kernel's statuses and hit positions."""
+    cam = Camera.new([0.0, 3.0, 20.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(screen_width=64, screen_height=48, max_steps=400)
+    for cfg in (
+        TraceConfig(disk=True),
+        TraceConfig(disk=True, integrator="rk4"),
+        TraceConfig(disk=True, model="kerr"),
+    ):
+        exact = pallas_trace_image(cam, scene, cfg, interpret=True)
+        sl = pallas_trace_image(
+            cam, scene, cfg, interpret=True, fast_math=True, track_steps=False
+        )
+        se, ss = np.asarray(exact.status), np.asarray(sl.status)
+        assert (se == ss).mean() >= 0.995, cfg
+        assert (ss == 3).sum() > 100  # the scene really hits the disk
+        m = (se == ss) & (se == 3)
+        pd = np.abs(np.asarray(exact.final_pos)[m] - np.asarray(sl.final_pos)[m])
+        assert pd.max() < 0.1, f"{cfg}: disk hit positions drifted {pd.max()}"
+        # sentinel never leaks: all y positions are physical
+        assert np.abs(np.asarray(sl.final_pos)[..., 1]).max() < 150.0
+
+
 def test_track_steps_off_leaves_rest_identical():
     cam = Camera.default()
     scene = _scene()
