@@ -20,8 +20,20 @@ Numerics: fp32 throughout, same operation order as ops/trace.py (the XLA
 oracle), which itself mirrors the WGSL. `fast_math=True` swaps IEEE
 sqrt/divide for rsqrt/reciprocal approximations in the hot loop.
 
-Outputs per pixel: final position (3 planes), final unit velocity
-(3 planes), status code, steps taken — shading happens downstream
+build_kernel emits one of four kernel flavors, picked by static config:
+
+  1. exact   — bit-parity with the oracle; ray status in a VMEM scratch
+               ref (a status loop-carry trips a Mosaic relayout bug).
+  2. fused   — fast-math with folded coefficients, status-ful (used when
+               the debug heatmap needs per-ray step counts).
+  3. stateless — fast-math; terminated rays freeze via dt_eff = 0, so
+               termination (capture/escape/disk-sentinel) is re-derived
+               from geometry each step: no state, no scratch, no selects.
+  4. monolithic — stateless + in-kernel analytic shading; one packed-u32
+               RGBA output plane (the benchmark path).
+
+Outputs per pixel (flavors 1-3): final position (3 planes), final unit
+velocity (3 planes), status code, steps taken — shading happens downstream
 (ops/shading.py).
 """
 

@@ -38,7 +38,13 @@ class TimestampQuery:
 
 
 def time_fn(fn, *args, warmup: int = 3, iters: int = 10) -> float:
-    """Median wall time (ms) of a jitted callable, synchronized per call."""
+    """Median wall time (ms) of a jitted callable, synchronized per call.
+
+    Caveat for remote-executor environments (e.g. the axon tunnel): results
+    of identical-content dispatches may be served from a cache, making
+    repeats spuriously fast — vary the inputs per call there, or use the
+    fused-scan slope protocol (see bench.py / utils/autotune.py).
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times = []
