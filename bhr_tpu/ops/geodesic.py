@@ -8,8 +8,11 @@ RK4 on the state (pos, vel) and dt(r) = base_dt * clamp((r - rs) * k, 0.01, 1).
 
 All functions are shape-polymorphic over leading batch dims: `rel`/`vel` are
 (..., 3) and `r`/`rs`/`spin`/`dt` broadcast over (...,). They are pure jnp
-and are reused verbatim inside both the XLA oracle path and the Pallas
-kernel (which calls them on (TH, TW, 3)-shaped register tiles).
+and power the XLA oracle path (ops/trace.py). The Pallas kernel
+re-implements the same formulas on struct-of-arrays component planes
+(ops/pallas_trace.py) — a deliberate duplication for register layout, kept
+honest by the kernel-vs-oracle parity tests: any physics change here MUST
+be mirrored there (tests/test_pallas_parity.py will catch a divergence).
 """
 
 from __future__ import annotations

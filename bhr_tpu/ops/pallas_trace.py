@@ -58,6 +58,23 @@ from .trace import (
 DEFAULT_EARLY_EXIT_EVERY = 64
 
 
+def monolithic_eligible(config, scene, *, use_pallas, fast_math, skybox,
+                        disk_params, tonemap) -> bool:
+    """True when the fused trace+shade (monolithic) kernel can produce this
+    frame. The single source of truth for the eligibility predicate —
+    renderer.render_image and parallel.mesh both consult it."""
+    return (
+        use_pallas
+        and fast_math
+        and skybox is None
+        and disk_params is None
+        and not config.disk
+        and config.integrator in ("euler", "rk4")
+        and scene.debug_mode == 0
+        and tonemap == "passthrough"
+    )
+
+
 def pick_tile(width: int, height: int = 0) -> tuple[int, int]:
     """Pick a (8, W) kernel tile for an image width.
 
@@ -616,7 +633,11 @@ def build_kernel(
         )
         esc2 = escape_r * escape_r
         cap2 = capture_r * capture_r
-        freeze_rel = config.disk  # hit positions consumed downstream
+        # always freeze rel: TraceResult.final_pos is documented as the
+        # position at termination; letting captured rays run to NaN would
+        # break that contract (this flavor only serves the debug path, so
+        # the three extra selects are irrelevant)
+        freeze_rel = True
 
         def fast_deriv(p, v):
             """d(p,v)/dl = (v, a) with a folded to a2*p - a1*v (fast form).
@@ -842,6 +863,10 @@ def build_kernel(
     if shade_inline:
         if not use_stateless:
             raise ValueError("shade_inline requires the stateless fast path")
+        if config.disk:
+            # the monolithic kernel shades in-kernel with the analytic
+            # background only; disk emission needs the LUT epilogue
+            raise ValueError("shade_inline cannot render the accretion disk")
         return kernel_monolithic, False
     if use_stateless:
         return kernel_stateless, False  # (kernel_fn, needs_status_scratch)

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.camera import generate_rays, orbit_camera
-from ..ops.pallas_trace import pallas_render_packed, pallas_trace_image
+from ..ops.pallas_trace import (
+    monolithic_eligible,
+    pallas_render_packed,
+    pallas_trace_image,
+)
 from ..ops.sampling import sample_equirect_packed, unpack_frame
 from ..ops.shading import shade_planes_packed
 from ..ops.starfield import procedural_background
@@ -67,6 +71,7 @@ def _render_band(
     fast_math,
     tonemap,
     interpret,
+    seed=2020,
 ):
     """Render rows [row0, row0+band_h) of the full image -> packed u32 band.
 
@@ -74,19 +79,12 @@ def _render_band(
     """
     from ..ops.display import TONEMAPS
 
-    monolithic_ok = (
-        use_pallas
-        and fast_math
-        and skybox is None
-        and disk_params is None
-        and not config.disk
-        and config.integrator == "euler"
-        and scene.debug_mode == 0
-        and tonemap == "passthrough"
-    )
-    if monolithic_ok:
+    if monolithic_eligible(
+        config, scene, use_pallas=use_pallas, fast_math=fast_math,
+        skybox=skybox, disk_params=disk_params, tonemap=tonemap,
+    ):
         return pallas_render_packed(
-            camera, scene, config, tile=tile, interpret=interpret,
+            camera, scene, config, seed=seed, tile=tile, interpret=interpret,
             row0=row0, local_shape=(band_h, scene.screen_width),
         )
     if use_pallas:
@@ -119,7 +117,7 @@ def _render_band(
             config,
         )
     if skybox is None:
-        background = procedural_background
+        background = functools.partial(procedural_background, seed=seed)
     else:
         background = functools.partial(sample_equirect_packed, skybox)
     tm = TONEMAPS[tonemap]
@@ -151,6 +149,7 @@ def render_frame_sharded(
     fast_math: bool = False,
     tonemap: str = "passthrough",
     interpret: bool | None = None,
+    seed: int = 2020,
 ):
     """One frame with pixel rows sharded over the mesh's 'sp' axis.
 
@@ -173,6 +172,7 @@ def render_frame_sharded(
             camera, scene, skybox, disk_params, lut, row0, band_h,
             config=config, use_pallas=use_pallas, tile=tile,
             fast_math=fast_math, tonemap=tonemap, interpret=interpret,
+            seed=seed,
         )
 
     fn = jax.shard_map(
@@ -202,6 +202,7 @@ def render_animation_sharded(
     tonemap: str = "passthrough",
     interpret: bool | None = None,
     with_stats: bool = True,
+    seed: int = 2020,
 ):
     """Animation with frames sharded over 'dp' and rows over 'sp'.
 
@@ -232,6 +233,7 @@ def render_animation_sharded(
                 cam, scene, skybox, disk_params, lut, row0, band_h,
                 config=config, use_pallas=use_pallas, tile=tile,
                 fast_math=fast_math, tonemap=tonemap, interpret=interpret,
+                seed=seed,
             )
             if with_stats:
                 g_chan = ((band >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)

@@ -40,7 +40,12 @@ from .io import image as image_io
 from .io.skybox import load_skybox
 from .models.disk import DiskParams, blackbody_lut
 from .ops import display as display_ops
-from .ops.pallas_trace import pallas_render_packed, pallas_trace_image, pick_tile
+from .ops.pallas_trace import (
+    monolithic_eligible,
+    pallas_render_packed,
+    pallas_trace_image,
+    pick_tile,
+)
 from .ops.shading import shade_planes_packed
 from .ops.sampling import (
     pack_texture_rgba8,
@@ -128,17 +133,10 @@ def render_image(
     `packed=True` (the internal TPU-friendly format; see
     sampling.unpack_frame).
     """
-    monolithic_ok = (
-        use_pallas
-        and fast_math
-        and skybox is None
-        and disk_params is None
-        and not config.disk
-        and config.integrator == "euler"
-        and scene.debug_mode == 0
-        and tonemap == "passthrough"
-    )
-    if monolithic_ok:
+    if monolithic_eligible(
+        config, scene, use_pallas=use_pallas, fast_math=fast_math,
+        skybox=skybox, disk_params=disk_params, tonemap=tonemap,
+    ):
         # trace + shade fused in one kernel (single packed-u32 output)
         frame = pallas_render_packed(
             camera, scene, config, seed=seed, tile=tile, interpret=interpret

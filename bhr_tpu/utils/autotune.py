@@ -41,11 +41,16 @@ def _default_candidates(width: int):
     ]
 
 
-def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8):
-    """Slope ms/frame for one candidate config on the current device."""
+def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=True):
+    """Slope ms/frame for one candidate config on the current device.
+
+    Returns a non-positive number when dispatch-time noise swamps the
+    measurement (short scan slower than long scan); callers must discard
+    such samples.
+    """
     from ..core.camera import orbit_camera
     from ..core.scene import SceneParams
-    from ..ops.pallas_trace import pallas_render_packed
+    from ..ops.pallas_trace import pallas_render_packed, pallas_trace_image
     from ..ops.trace import TraceConfig
 
     scene = SceneParams(
@@ -53,14 +58,26 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8):
     )
 
     def one(c, t):
-        out = pallas_render_packed(
-            orbit_camera(t),
-            scene,
-            TraceConfig(),
-            tile=tuple(cand["tile"]),
-            early_exit_every=cand["early_exit_every"],
-            interpret=False,
-        )
+        if fast_math:
+            out = pallas_render_packed(
+                orbit_camera(t),
+                scene,
+                TraceConfig(),
+                tile=tuple(cand["tile"]),
+                early_exit_every=cand["early_exit_every"],
+                interpret=False,
+            )
+        else:
+            res = pallas_trace_image(
+                orbit_camera(t),
+                scene,
+                TraceConfig(),
+                tile=tuple(cand["tile"]),
+                early_exit_every=cand["early_exit_every"],
+                fast_math=False,
+                interpret=False,
+            )
+            out = res.final_vel.sum()
         return c, out
 
     f = jax.jit(lambda ts: jax.lax.scan(one, 0, ts)[1])
@@ -77,7 +94,7 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8):
     t0 = time.perf_counter()
     jax.block_until_ready(f(fresh(n2, 3)))
     t2 = time.perf_counter() - t0
-    return max((t2 - t1) / (n2 - n1) * 1000.0, 0.0)
+    return (t2 - t1) / (n2 - n1) * 1000.0
 
 
 def autotune(
@@ -118,9 +135,15 @@ def autotune(
     best = None
     for cand in candidates or _default_candidates(width):
         try:
-            ms = measure_fn(width, height, max_steps, cand)
+            if measure_fn is _measure_candidate:
+                ms = measure_fn(width, height, max_steps, cand, fast_math=fast_math)
+            else:
+                ms = measure_fn(width, height, max_steps, cand)
         except Exception as e:  # a candidate failing to compile is not fatal
             logger.warning("autotune candidate %s failed: %s", cand, e)
+            continue
+        if ms <= 0.0:  # dispatch-noise-corrupted slope: unusable sample
+            logger.warning("autotune candidate %s: noisy slope %.2f, skipped", cand, ms)
             continue
         logger.info("autotune %s: %.2f ms/frame", cand, ms)
         if best is None or ms < best["ms_per_frame"]:

@@ -28,10 +28,10 @@ def _mini_graph(draw, x, y, samples, color, label, current):
     """stats.js-style filled line graph (main.rs:587-633)."""
     draw.rectangle([x, y, x + GRAPH_W, y + GRAPH_H], fill=(20, 20, 24, 255))
     if samples:
-        mx = max(max(samples), 1e-6)
-        n = len(samples)
-        for i, v in enumerate(samples[-GRAPH_W:]):
-            px = x + int(i * GRAPH_W / max(n, GRAPH_W))
+        window = samples[-GRAPH_W:]
+        mx = max(max(window), 1e-6)
+        for i, v in enumerate(window):
+            px = x + int(i * GRAPH_W / len(window))
             h = int(min(v / mx, 1.0) * (GRAPH_H - 2))
             draw.line([px, y + GRAPH_H - 1 - h, px, y + GRAPH_H - 1], fill=color)
     _text(draw, (x + 2, y + 1), f"{label} {current:.1f}ms", fill=(255, 255, 255, 255))

@@ -244,3 +244,12 @@ def test_track_steps_off_leaves_rest_identical():
     b = pallas_trace_image(cam, scene, cfg, interpret=True, track_steps=False)
     np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
     np.testing.assert_array_equal(np.asarray(a.final_vel), np.asarray(b.final_vel))
+
+
+def test_pallas_render_packed_rejects_disk():
+    from bhr_tpu.ops.pallas_trace import pallas_render_packed
+
+    cam = Camera.default()
+    scene = _scene()
+    with pytest.raises(ValueError, match="disk"):
+        pallas_render_packed(cam, scene, TraceConfig(disk=True), interpret=True)

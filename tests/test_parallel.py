@@ -73,3 +73,14 @@ def test_height_must_divide():
     mesh = make_mesh(8, shape=(1, 8))
     with pytest.raises(ValueError):
         render_frame_sharded(Camera.default(), scene, None, mesh)
+
+
+def test_sharded_seed_matches_single_device():
+    scene = SceneParams(**SCENE)
+    cam = Camera.default()
+    mesh = make_mesh(8, shape=(1, 8))
+    sharded = np.asarray(render_frame_sharded(cam, scene, None, mesh, seed=7))
+    single = np.asarray(
+        BlackHoleRenderer(64, 32, skybox_seed=7).render_frame(cam, scene)
+    )
+    np.testing.assert_array_equal(sharded, single)
