@@ -69,3 +69,17 @@ def test_app_debug_steps_mode(tmp_path, monkeypatch):
 
     frame = np.asarray(Image.open(os.path.join(out, "frame_00000.png")).convert("RGB"))
     assert (frame.max(axis=-1).astype(int) > 200).all()  # saturated heatmap
+
+
+def test_app_duration_auto_exit(tmp_path, monkeypatch):
+    """--duration N exits after ~N seconds (main.rs:836-848 analog)."""
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    t0 = time.perf_counter()
+    rc = main(
+        ["--duration", "1.0", "--width", "16", "--height", "8",
+         "--max-steps", "5", "--oracle"]
+    )
+    assert rc == 0
+    assert time.perf_counter() - t0 < 30.0  # exits promptly, not hangs

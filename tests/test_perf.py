@@ -6,6 +6,7 @@ import os
 import time
 
 from bhr_tpu.utils.perf import CSV_HEADER, PerfLogger, PerformanceStats
+from bhr_tpu.utils.timing import TimestampQuery, time_fn
 
 
 def test_warmup_frames_excluded():
@@ -76,3 +77,18 @@ def test_perflogger_schema_and_rows(tmp_path):
     assert len(rows) == 3
     assert rows[1][1] == "testtag"
     assert float(rows[1][5]) == 2.5  # gpu_time_ms column
+
+
+def test_timestamp_query_lifecycle():
+    q = TimestampQuery()
+    assert q.gpu_time_ms is None
+    q.begin()
+    q.end()
+    assert q.gpu_time_ms is not None and q.gpu_time_ms >= 0.0
+
+
+def test_time_fn_median():
+    import jax.numpy as jnp
+
+    ms = time_fn(lambda x: x + 1, jnp.ones(8), warmup=1, iters=3)
+    assert ms >= 0.0
