@@ -7,6 +7,18 @@ PY ?= python
 
 all: native test
 
+# environment bootstrap (the reference's `just setup`, justfile:8-28):
+# venv + editable install + jupyter kernel + native runtime. On images with
+# jax/jupyter preinstalled this is a no-op-safe refresh.
+setup:
+	$(PY) -m venv --system-site-packages .venv 2>/dev/null || true
+	. .venv/bin/activate 2>/dev/null; $(PY) -m pip install -e . 2>/dev/null \
+	  || echo "pip install skipped (offline image: deps are preinstalled)"
+	$(PY) -m ipykernel install --user --name bhr_tpu \
+	  --display-name "Python (bhr_tpu)" 2>/dev/null \
+	  || echo "ipykernel registration skipped"
+	$(MAKE) -s -C native
+
 # build the native C++ I/O runtime (auto-built on first use too)
 native:
 	$(MAKE) -s -C native

@@ -178,6 +178,9 @@ def build_kernel(
             and config.integrator == "euler"
             and not config.disk
             and not track_steps
+            # turbo substeps probe past termination boundaries; only
+            # schwarzschild/flat have the one_m clamp that keeps that safe
+            and config.model != "kerr"
             and max_steps % steps_per_check == 0
             and (early_exit_every == 0 or (
                 early_exit_every % steps_per_check == 0
@@ -326,6 +329,10 @@ def build_kernel(
     def sl_rk4(rel, vel, dt, rs, spin):
         """Classic RK4 on (rel, vel); substeps clamp one_m (they may probe
         just inside the horizon for about-to-be-captured rays)."""
+        if config.model == "flat":
+            # straight-line propagation: flat spacetime has zero
+            # acceleration, so every RK4 stage derivative is just vel
+            return _vaxpy(rel, vel, dt), vel
         half = 0.5 * dt
         k1v = sl_deriv(rel, vel, rs, spin, True)
         p2 = _vaxpy(rel, vel, half)
@@ -390,7 +397,7 @@ def build_kernel(
         rel0 = (cam[0] - bh[0] + 0.0 * ones, cam[1] - bh[1] + 0.0 * ones,
                 cam[2] - bh[2] + 0.0 * ones)
 
-        def physics_substep(rel, vel, r2, inv_r, dt_eff, clamp_one_m):
+        def physics_substep(rel, vel, r2, inv_r, dt_eff):
             """One Euler sub-step with folded coefficients; returns rel', v'."""
             if config.model == "flat":
                 nv = vel
@@ -398,11 +405,16 @@ def build_kernel(
                 c = _vdot(vel, rel)
                 rs_inv_r = rs * inv_r
                 one_m = 1.0 - rs_inv_r
-                if clamp_one_m:
-                    # turbo mode may evaluate a just-captured ray one extra
-                    # sub-step below the horizon where one_m <= 0 would blow
-                    # up; any live ray has one_m >= 1 - 1/1.05 = 0.0476, so
-                    # the clamp only ever touches doomed (black) rays
+                if config.model == "schwarzschild":
+                    # a frozen captured ray can sit at r <= rs where
+                    # one_m <= 0 (turbo mode even probes below the horizon);
+                    # unclamped, reciprocal(0) * dt_eff(0) = NaN would poison
+                    # that pixel's velocity forever. Any live Schwarzschild
+                    # ray has one_m >= 1 - 1/1.05 = 0.0476 (capture radius
+                    # 1.05*rs), so the clamp only ever touches doomed (black)
+                    # rays. Kerr's capture radius sits BELOW rs, so live kerr
+                    # rays legitimately reach one_m < 0 — no clamp there
+                    # (matching the exact kernel's unclamped arithmetic).
                     one_m = jnp.maximum(one_m, 0.02)
                 # dt folded into factor: one plane-op fewer per coefficient
                 factor_dt = (rs * pl.reciprocal(2.0 * r2 * one_m, approx=True)) * dt_eff
@@ -450,9 +462,7 @@ def build_kernel(
             if config.integrator == "rk4":
                 rel, vel = sl_rk4(rel, vel, dt_eff, rs, spin)
             else:
-                rel, vel = physics_substep(
-                    rel, vel, r2, inv_r, dt_eff, clamp_one_m=steps_per_check > 1
-                )
+                rel, vel = physics_substep(rel, vel, r2, inv_r, dt_eff)
             if config.disk:
                 # equatorial crossing in the annulus -> teleport to the
                 # sentinel: y = 2.5 * escape_r marks "disk hit", x/z keep
@@ -475,9 +485,7 @@ def build_kernel(
             for _ in range(steps_per_check - 1):
                 r2 = _vdot(rel, rel)
                 inv_r = jax.lax.rsqrt(r2)
-                rel, vel = physics_substep(
-                    rel, vel, r2, inv_r, dt_eff, clamp_one_m=True
-                )
+                rel, vel = physics_substep(rel, vel, r2, inv_r, dt_eff)
             return (i + jnp.int32(steps_per_check),
                     rel[0], rel[1], rel[2], vel[0], vel[1], vel[2])
 

@@ -135,6 +135,35 @@ def _render_band(
     )
 
 
+@functools.lru_cache(maxsize=128)
+def _frame_program(
+    mesh, band_h, config, use_pallas, tile, fast_math, tonemap, interpret, seed
+):
+    """Build (once per static configuration) the jitted sharded-frame
+    program. Callers hit this cache instead of re-closing and re-jitting a
+    fresh shard_map every invocation — the second call with the same mesh
+    and config does zero retracing (jax.jit caches per argument shape on
+    the returned program object)."""
+
+    def shard_fn(camera, scene, skybox, disk_params, lut):
+        row0 = jax.lax.axis_index("sp") * band_h
+        return _render_band(
+            camera, scene, skybox, disk_params, lut, row0, band_h,
+            config=config, use_pallas=use_pallas, tile=tile,
+            fast_math=fast_math, tonemap=tonemap, interpret=interpret,
+            seed=seed,
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P("sp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def render_frame_sharded(
     camera,
     scene,
@@ -154,7 +183,9 @@ def render_frame_sharded(
     """One frame with pixel rows sharded over the mesh's 'sp' axis.
 
     Returns the uint8 (H, W, 4) image, sharded over rows (NamedSharding
-    P('sp')); jax.device_get assembles it on the host.
+    P('sp')); jax.device_get assembles it on the host. Heights that do not
+    divide over sp are band-padded (each device renders ceil(H/sp) rows;
+    the out-of-frame tail rows are sliced off).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -162,28 +193,14 @@ def render_frame_sharded(
         interpret = jax.default_backend() != "tpu"
     n_sp = mesh.shape["sp"]
     height = scene.screen_height
-    if height % n_sp:
-        raise ValueError(f"image height {height} must divide over sp={n_sp}")
-    band_h = height // n_sp
-
-    def shard_fn(camera, scene, skybox, disk_params, lut):
-        row0 = jax.lax.axis_index("sp") * band_h
-        return _render_band(
-            camera, scene, skybox, disk_params, lut, row0, band_h,
-            config=config, use_pallas=use_pallas, tile=tile,
-            fast_math=fast_math, tonemap=tonemap, interpret=interpret,
-            seed=seed,
-        )
-
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=P("sp"),
-        check_vma=False,
+    band_h = -(-height // n_sp)  # ceil: pad the last band past the image
+    program = _frame_program(
+        mesh, band_h, config, use_pallas,
+        tuple(tile) if tile is not None else None,
+        fast_math, tonemap, interpret, seed,
     )
-    packed = jax.jit(fn)(camera, scene, skybox, disk_params, lut)
-    return unpack_frame(packed)
+    packed = program(camera, scene, skybox, disk_params, lut)
+    return unpack_frame(packed[:height])
 
 
 def render_animation_sharded(
@@ -206,11 +223,14 @@ def render_animation_sharded(
 ):
     """Animation with frames sharded over 'dp' and rows over 'sp'.
 
-    `times` is fp32[F] with F divisible by mesh dp size. Each device scans
-    its local frames and renders its row band — the full (dp x sp) mesh is
-    busy with zero hot-loop communication. When `with_stats`, a per-frame
-    mean-luminance telemetry scalar is psum-reduced over 'sp' (the ICI
-    collective exercising the mesh) and returned alongside the frames.
+    `times` is fp32[F] with F divisible by mesh dp size; heights that do
+    not divide over sp are band-padded like render_frame_sharded. Each
+    device scans its local frames and renders its row band — the full
+    (dp x sp) mesh is busy with zero hot-loop communication. When
+    `with_stats`, a per-frame mean-luminance telemetry scalar is
+    psum-reduced over 'sp' (the ICI collective exercising the mesh) and
+    returned alongside the frames (for padded heights the telemetry mean
+    includes the out-of-frame tail rows).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -219,9 +239,29 @@ def render_animation_sharded(
     n_dp = mesh.shape["dp"]
     n_sp = mesh.shape["sp"]
     height = scene.screen_height
-    if height % n_sp or len(times) % n_dp:
-        raise ValueError("times must divide over dp and height over sp")
-    band_h = height // n_sp
+    if len(times) % n_dp:
+        raise ValueError(f"len(times)={len(times)} must divide over dp={n_dp}")
+    band_h = -(-height // n_sp)  # ceil: pad the last band past the image
+    program = _animation_program(
+        mesh, band_h, tuple(float(x) for x in orbit), config, use_pallas,
+        tuple(tile) if tile is not None else None,
+        fast_math, tonemap, interpret, with_stats, seed,
+    )
+    frames, lums = program(times, scene, skybox, disk_params, lut)
+    frames = unpack_frame(frames[:, :height])
+    if with_stats:
+        return frames, lums
+    return frames
+
+
+@functools.lru_cache(maxsize=128)
+def _animation_program(
+    mesh, band_h, orbit, config, use_pallas, tile, fast_math, tonemap,
+    interpret, with_stats, seed,
+):
+    """Jitted sharded-animation program, cached per static configuration
+    (see _frame_program)."""
+    n_sp = mesh.shape["sp"]
     speed, radius, cam_h = [jnp.float32(x) for x in orbit]
 
     def shard_fn(times, scene, skybox, disk_params, lut):
@@ -253,11 +293,7 @@ def render_animation_sharded(
         out_specs=(P("dp", "sp"), P("dp")),
         check_vma=False,
     )
-    frames, lums = jax.jit(fn)(times, scene, skybox, disk_params, lut)
-    frames = unpack_frame(frames)
-    if with_stats:
-        return frames, lums
-    return frames
+    return jax.jit(fn)
 
 
 def shard_image(image, mesh: Mesh):

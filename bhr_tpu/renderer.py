@@ -289,6 +289,30 @@ class BlackHoleRenderer:
         disk_params = (
             DiskParams.for_scene(scene.schwarzschild_radius) if self.config.disk else None
         )
+        if (
+            self.config.disk
+            and self.use_pallas
+            and self.fast_math
+            and scene.debug_mode == 0
+        ):
+            # the stateless fast kernel encodes disk hits as a y-position
+            # sentinel outside the escape sphere; a camera placed outside
+            # the escape sphere would freeze rays at start positions that
+            # alias the sentinel band (misclassifying them as disk hits)
+            cam_r = float(
+                np.linalg.norm(
+                    np.asarray(camera.position, np.float32)
+                    - np.asarray(scene.black_hole_position, np.float32)
+                )
+            )
+            if cam_r >= self.config.escape_radius:
+                raise ValueError(
+                    f"disk rendering on the fast path requires the camera "
+                    f"inside the escape sphere (|camera - bh| = {cam_r:.1f} "
+                    f">= escape_radius = {self.config.escape_radius:.1f}); "
+                    f"move the camera closer, raise TraceConfig.escape_radius, "
+                    f"or disable fast_math"
+                )
         if timestamp_query is not None:
             timestamp_query.begin()
         frame = render_image(

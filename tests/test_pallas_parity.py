@@ -195,6 +195,29 @@ def test_stateless_fast_kernel_matches_exact():
     )
 
 
+def test_stateless_flat_rk4_goes_straight():
+    """model='flat' + integrator='rk4' on the stateless path must propagate
+    rays in straight lines (regression: sl_rk4 used to apply Schwarzschild
+    acceleration to flat spacetime)."""
+    cam = Camera.default()
+    scene = _scene()
+    cfg = TraceConfig(model="flat", integrator="rk4")
+    exact = pallas_trace_image(cam, scene, cfg, interpret=True)
+    sl = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=True, track_steps=False
+    )
+    np.testing.assert_array_equal(np.asarray(exact.status), np.asarray(sl.status))
+    vd = np.abs(np.asarray(exact.final_vel) - np.asarray(sl.final_vel)).max()
+    assert vd < 1e-5, f"flat+rk4 stateless bends rays: max vel divergence {vd}"
+    # straight rays never bend: final vel == initial ray direction
+    from bhr_tpu.core.camera import generate_rays
+
+    _, dirs = generate_rays(cam, W, H, scene.fov)
+    np.testing.assert_allclose(
+        np.asarray(sl.final_vel), np.asarray(dirs), atol=1e-5
+    )
+
+
 def test_stateless_kernel_with_kerr_and_adaptive():
     cam = Camera.new([0.0, 2.0, 30.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
     scene = SceneParams(

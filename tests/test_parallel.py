@@ -68,11 +68,41 @@ def test_sharded_animation_dp_x_sp():
     np.testing.assert_allclose(np.asarray(lums), g_mean, rtol=1e-5)
 
 
-def test_height_must_divide():
-    scene = SceneParams(screen_width=64, screen_height=33, max_steps=5)
+def test_non_divisible_height_pads_bands():
+    """Heights that don't divide over sp render via padded bands and still
+    equal the single-device frame (e.g. 1080 on a 16-way sp mesh)."""
+    for h in (33, 30):  # 33 % 8 = 1, 30 % 8 = 6
+        scene = SceneParams(screen_width=64, screen_height=h, max_steps=20)
+        cam = Camera.default()
+        mesh = make_mesh(8, shape=(1, 8))
+        sharded = np.asarray(render_frame_sharded(cam, scene, None, mesh))
+        single = np.asarray(BlackHoleRenderer(64, h).render_frame(cam, scene))
+        assert sharded.shape == (h, 64, 4)
+        np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_programs_are_cached():
+    """Repeat calls with the same mesh/config must reuse the jitted program
+    (zero rebuilding — the retrace-per-call regression)."""
+    from bhr_tpu.parallel.mesh import _animation_program, _frame_program
+
+    scene = SceneParams(**SCENE)
+    cam = Camera.default()
     mesh = make_mesh(8, shape=(1, 8))
-    with pytest.raises(ValueError):
-        render_frame_sharded(Camera.default(), scene, None, mesh)
+    _frame_program.cache_clear()
+    render_frame_sharded(cam, scene, None, mesh)
+    before = _frame_program.cache_info()
+    render_frame_sharded(cam, scene, None, mesh)
+    after = _frame_program.cache_info()
+    assert after.hits == before.hits + 1 and after.misses == before.misses
+
+    times = jnp.arange(2, dtype=jnp.float32) / 60.0
+    _animation_program.cache_clear()
+    render_animation_sharded(times, scene, None, make_mesh(8))
+    before = _animation_program.cache_info()
+    render_animation_sharded(times, scene, None, make_mesh(8))
+    after = _animation_program.cache_info()
+    assert after.hits == before.hits + 1 and after.misses == before.misses
 
 
 def test_sharded_seed_matches_single_device():

@@ -124,3 +124,18 @@ def test_scene_size_mismatch_corrected():
     wrong = SceneParams(screen_width=999, screen_height=7, max_steps=10)
     frame = r.render_frame(scene=wrong)
     assert frame.shape == (8, 16, 4)
+
+
+def test_disk_fast_path_rejects_camera_outside_escape_sphere():
+    """The stateless disk kernel's y-sentinel requires the camera inside the
+    escape sphere; the renderer must refuse the degenerate placement."""
+    import pytest
+    from bhr_tpu import Camera
+
+    r = BlackHoleRenderer(16, 8, disk=True, fast_math=True, use_pallas=True)
+    far = Camera.new([0.0, 160.0, 0.1], [0.0, 0.0, 0.0], [0.0, 0.0, -1.0])
+    with pytest.raises(ValueError, match="escape sphere"):
+        r.render_frame(far)
+    # a normal camera still renders
+    frame = r.render_frame()
+    assert frame.shape == (8, 16, 4)
