@@ -12,6 +12,15 @@ reproducing the app-mode behaviors:
   * per-frame scene with max_steps=200 (main.rs:878);
   * PerformanceStats with 10-frame warmup + CSV PerfLogger (main.rs:36-262);
   * benchmark auto-exit after --duration seconds (main.rs:836-848).
+
+Unlike the reference — which syncs the host every frame (blocking timestamp
+readback, main.rs:887-921) — the default hot loop here fuses `--chunk`
+frames into one on-device lax.scan per dispatch (zero host round-trips
+inside a chunk; the design of animation.py applied to live mode). Per-frame
+statistics attribute the chunk bracket evenly; the gpu_time column reports
+the bracket minus the calibrated fixed dispatch overhead — a defensible
+device time, unlike a raw host bracket (see utils/timing.py). `--chunk 1`
+restores the reference-style per-frame dispatch loop.
 """
 
 from __future__ import annotations
@@ -28,7 +37,9 @@ from .core.camera import orbit_camera
 from .core.scene import DEBUG_NONE, DEBUG_STEPS, SceneParams
 from .renderer import BlackHoleRenderer
 from .utils.perf import PerfLogger, PerformanceStats
-from .utils.timing import TimestampQuery
+from .utils.timing import TimestampQuery, calibrate_dispatch_overhead_ms
+
+DEFAULT_CHUNK = 8
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -52,8 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=APP_MAX_STEPS)
     p.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = until --duration/Ctrl-C)")
     p.add_argument("--fps", type=float, default=60.0, help="animation time base (frame t = i/fps)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="frames fused per on-device scan dispatch "
+                        f"(0 = default {DEFAULT_CHUNK}; 1 = per-frame dispatch, "
+                        "wall-clock camera, reference-style loop)")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
-    p.add_argument("--fast-math", action="store_true", help="approximate rsqrt/reciprocal in the hot loop")
+    p.add_argument("--fast-math", action=argparse.BooleanOptionalAction, default=True,
+                   help="approximate rsqrt/reciprocal in the hot loop — matches "
+                        "the GPU shader's fast-math tier, so it is the app-mode "
+                        "default (the library API defaults to exact math); "
+                        "--no-fast-math selects the IEEE bit-parity kernel")
     p.add_argument("--oracle", action="store_true", help="use the XLA oracle path instead of the Pallas kernel")
     p.add_argument("--verbose", "-v", action="store_true",
                    help="debug logging (the env_logger analog, main.rs:1135)")
@@ -61,6 +80,138 @@ def build_parser() -> argparse.ArgumentParser:
                    help="draw the perf overlay (and the heatmap legend with "
                         "--debug-steps) onto saved frames — the egui GUI analog")
     return p
+
+
+def _write_host_frame(args, host_frame, index, stats):
+    """Overlay (optional) + submit one RGBA frame to the native PNG writer."""
+    from .io import native
+
+    if args.overlay:
+        from .utils.overlay import draw_legend_onto, draw_performance_overlay
+
+        host_frame = draw_performance_overlay(host_frame, stats)
+        if args.debug_steps:
+            host_frame = draw_legend_onto(host_frame, max_steps=args.max_steps)
+    native.submit_frame(
+        os.path.join(args.out, f"frame_{index:05d}.png"), host_frame
+    )
+
+
+def _chunked_loop(args, renderer, scene, stats, logger, chunk) -> int:
+    """Fused-scan hot loop: `chunk` frames per device dispatch.
+
+    The camera is a pure function of frame index (t = i / fps), making the
+    run deterministic and the scan fusable; per-frame stats attribute each
+    chunk bracket evenly across its frames.
+    """
+    from .animation import OrbitAnimator
+
+    anim = OrbitAnimator(renderer)
+
+    def render_chunk(start_frame):
+        frames = anim.render_frames(
+            chunk, fps=args.fps, start_frame=start_frame, scene=scene, packed=True
+        )
+        jax.block_until_ready(frames)
+        return frames
+
+    warm = render_chunk(0)  # compile + warm the device path outside the timed loop
+    # Initialize the device->host channel BEFORE calibrating: on tunneled
+    # devices block_until_ready is only honest once the transfer channel
+    # exists (first device_get pays the one-time channel setup).
+    _ = jax.device_get(warm[0, 0, 0])
+    overhead_ms = calibrate_dispatch_overhead_ms()
+    print(f"Fused-scan mode: chunk={chunk}, dispatch overhead ~{overhead_ms:.1f} ms")
+
+    frame_idx = 0
+    first_frame_time = None
+    while True:
+        if args.duration is not None:
+            if first_frame_time is None:
+                first_frame_time = time.perf_counter()
+                print(f"Benchmark started. Will run for {args.duration} seconds.")
+            elif time.perf_counter() - first_frame_time >= args.duration:
+                elapsed = time.perf_counter() - first_frame_time
+                print(f"Benchmark duration reached ({elapsed:.2f}s). Exiting...")
+                break
+
+        t0 = time.perf_counter()
+        frames = render_chunk(frame_idx)
+        bracket_ms = (time.perf_counter() - t0) * 1000.0
+        device_ms = max(bracket_ms - overhead_ms, 0.0) / chunk
+
+        n_use = chunk
+        if args.frames:
+            n_use = min(chunk, args.frames - frame_idx)
+
+        host_ms = 0.0
+        if args.out:
+            t_h0 = time.perf_counter()
+            host = np.asarray(jax.device_get(frames)).view(np.uint8)
+            host = host.reshape(host.shape[0], host.shape[1], -1, 4)
+            for k in range(n_use):
+                _write_host_frame(args, host[k], frame_idx + k, stats)
+            host_ms = (time.perf_counter() - t_h0) * 1000.0
+
+        frame_ms = bracket_ms / chunk + host_ms / max(n_use, 1)
+        for _ in range(n_use):
+            stats.record_frame_time_ms(frame_ms)
+            stats.update_cpu_time(host_ms / max(n_use, 1))
+            stats.update_gpu_time(device_ms)
+            if logger is not None:
+                logger.log_frame(stats)
+        frame_idx += n_use
+        if args.frames and frame_idx >= args.frames:
+            break
+    return frame_idx
+
+
+def _per_frame_loop(args, renderer, scene, stats, logger) -> int:
+    """Reference-style loop: one dispatch + host sync per frame
+    (main.rs:1110-1131). The camera tracks wall-clock time unless --frames
+    pins the time base to the frame index."""
+    warm = renderer.render_frame(orbit_camera(0.0), scene)  # compile outside timing
+    _ = jax.device_get(warm[0, 0, 0])  # init device->host channel (see _chunked_loop)
+    overhead_ms = calibrate_dispatch_overhead_ms()
+
+    start = time.perf_counter()
+    first_frame_time = None
+    frame_idx = 0
+    while True:
+        stats.update_frame_time()
+        cpu_start = time.perf_counter()
+
+        if args.duration is not None:
+            if first_frame_time is None:
+                first_frame_time = time.perf_counter()
+                print(f"Benchmark started. Will run for {args.duration} seconds.")
+            elif time.perf_counter() - first_frame_time >= args.duration:
+                elapsed = time.perf_counter() - first_frame_time
+                print(f"Benchmark duration reached ({elapsed:.2f}s). Exiting...")
+                break
+
+        # camera is a pure function of elapsed time (main.rs:851-869)
+        t = time.perf_counter() - start if args.frames == 0 else frame_idx / args.fps
+        camera = orbit_camera(t)
+
+        q = TimestampQuery(overhead_ms=overhead_ms)
+        frame = renderer.render_frame(camera, scene, timestamp_query=q)
+
+        if args.out:
+            host = np.asarray(jax.device_get(frame))
+            _write_host_frame(args, host, frame_idx, stats)
+
+        cpu_ms = (time.perf_counter() - cpu_start) * 1000.0
+        stats.update_cpu_time(cpu_ms)
+        if q.gpu_time_ms is not None:
+            stats.update_gpu_time(q.gpu_time_ms)
+        if logger is not None:
+            logger.log_frame(stats)
+
+        frame_idx += 1
+        if args.frames and frame_idx >= args.frames:
+            break
+    return frame_idx
 
 
 def main(argv=None) -> int:
@@ -83,7 +234,11 @@ def main(argv=None) -> int:
         fast_math=args.fast_math,
         use_pallas=False if args.oracle else None,
     )
-    print(f"Device: {renderer.device} (pallas={'on' if renderer.use_pallas else 'off'})")
+    chunk = args.chunk if args.chunk > 0 else DEFAULT_CHUNK
+    print(
+        f"Device: {renderer.device} (pallas={'on' if renderer.use_pallas else 'off'}, "
+        f"chunk={chunk})"
+    )
 
     stats = PerformanceStats()
     logger = None
@@ -104,64 +259,25 @@ def main(argv=None) -> int:
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        from .io import native
 
-    start = time.perf_counter()
-    first_frame_time = None
     frame_idx = 0
+    rc = 0
     try:
-        while True:
-            stats.update_frame_time()
-            cpu_start = time.perf_counter()
-
-            if args.duration is not None:
-                if first_frame_time is None:
-                    first_frame_time = time.perf_counter()
-                    print(f"Benchmark started. Will run for {args.duration} seconds.")
-                elif time.perf_counter() - first_frame_time >= args.duration:
-                    elapsed = time.perf_counter() - first_frame_time
-                    print(f"Benchmark duration reached ({elapsed:.2f}s). Exiting...")
-                    break
-
-            # camera is a pure function of elapsed time (main.rs:851-869)
-            t = time.perf_counter() - start if args.frames == 0 else frame_idx / args.fps
-            camera = orbit_camera(t)
-
-            q = TimestampQuery()
-            try:
-                frame = renderer.render_frame(camera, scene, timestamp_query=q)
-            except jax.errors.JaxRuntimeError as e:
-                # device-loss analog of the reference's SurfaceError
-                # handling (main.rs:1113-1117): log and exit, don't hang
-                print(f"Device error, exiting: {e}")
-                return 1
-
-            if args.out:
-                host = np.asarray(jax.device_get(frame))
-                if args.overlay:
-                    from .utils.overlay import draw_legend_onto, draw_performance_overlay
-
-                    host = draw_performance_overlay(host, stats)
-                    if args.debug_steps:
-                        host = draw_legend_onto(host, max_steps=args.max_steps)
-                native.submit_frame(
-                    os.path.join(args.out, f"frame_{frame_idx:05d}.png"), host
-                )
-
-            cpu_ms = (time.perf_counter() - cpu_start) * 1000.0
-            stats.update_cpu_time(cpu_ms)
-            if q.gpu_time_ms is not None:
-                stats.update_gpu_time(q.gpu_time_ms)
-            if logger is not None:
-                logger.log_frame(stats)
-
-            frame_idx += 1
-            if args.frames and frame_idx >= args.frames:
-                break
+        if chunk > 1:
+            frame_idx = _chunked_loop(args, renderer, scene, stats, logger, chunk)
+        else:
+            frame_idx = _per_frame_loop(args, renderer, scene, stats, logger)
     except KeyboardInterrupt:
         print("Interrupted.")
+    except jax.errors.JaxRuntimeError as e:
+        # device-loss analog of the reference's SurfaceError handling
+        # (main.rs:1113-1117): log and exit, don't hang
+        print(f"Device error, exiting: {e}")
+        rc = 1
     finally:
         if args.out:
+            from .io import native
+
             failures = native.drain()
             if failures:
                 print(f"Warning: {failures} frame write(s) failed")
@@ -173,7 +289,7 @@ def main(argv=None) -> int:
         f"(min {stats.min_fps():.1f} / max {stats.max_fps():.1f}) | "
         f"avg device {stats.avg_gpu_time():.2f} ms"
     )
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

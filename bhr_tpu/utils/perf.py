@@ -36,16 +36,28 @@ class PerformanceStats:
         self.all_time_max_fps = 0.0
         self.warmup_frames_remaining = WARMUP_FRAMES
 
+    @property
+    def measuring(self) -> bool:
+        """True once the warm-up window has passed AND a post-warmup frame
+        time has been recorded (main.rs:84-94) — the frame that *completes*
+        the warm-up is itself still excluded."""
+        return self.warmup_frames_remaining == 0 and len(self.frame_times) > 0
+
     def update_frame_time(self) -> None:
         now = time.perf_counter()
+        frame_time_ms = (now - self.last_frame_time) * 1000.0
+        self.last_frame_time = now
+        self.record_frame_time_ms(frame_time_ms)
+
+    def record_frame_time_ms(self, frame_time_ms: float) -> None:
+        """Record an externally measured per-frame time (the fused-scan app
+        path times whole chunks and attributes bracket/chunk to each frame).
+        Warm-up frames are counted but not recorded (main.rs:77-94)."""
         if self.warmup_frames_remaining > 0:
             self.warmup_frames_remaining -= 1
-            self.last_frame_time = now
             if self.warmup_frames_remaining == 0:
                 print("Warmup complete. Starting performance measurement.")
             return
-        frame_time_ms = (now - self.last_frame_time) * 1000.0
-        self.last_frame_time = now
         self.current_frame_time = frame_time_ms
         self.current_fps = 1000.0 / frame_time_ms if frame_time_ms > 0.0 else 0.0
         if self.current_fps > 0.0:
@@ -54,10 +66,17 @@ class PerformanceStats:
         self.frame_times.append(frame_time_ms)
 
     def update_cpu_time(self, cpu_time_ms: float) -> None:
+        # warm-up-gated like frame times (reference gates all statistics at
+        # main.rs:77-94): the first frames include jit compilation, which
+        # would otherwise skew avg_cpu_time for the whole first window
+        if not self.measuring:
+            return
         self.current_cpu_time = cpu_time_ms
         self.cpu_times.append(cpu_time_ms)
 
     def update_gpu_time(self, gpu_time_ms: float) -> None:
+        if not self.measuring:
+            return
         self.current_gpu_time = gpu_time_ms
         self.gpu_times.append(gpu_time_ms)
 

@@ -83,3 +83,46 @@ def test_app_duration_auto_exit(tmp_path, monkeypatch):
     )
     assert rc == 0
     assert time.perf_counter() - t0 < 30.0  # exits promptly, not hangs
+
+
+def test_app_chunked_loop_matches_frame_count(tmp_path, monkeypatch):
+    """Default (fused-scan) mode writes exactly --frames PNGs and one CSV
+    row per frame even when frames is not a chunk multiple."""
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "chunked")
+    rc = main(
+        [
+            "--frames", "5",
+            "--chunk", "4",
+            "--width", "32",
+            "--height", "16",
+            "--max-steps", "10",
+            "--perf-log", "chunktest",
+            "--out", out,
+            "--oracle",
+        ]
+    )
+    assert rc == 0
+    assert sorted(os.listdir(out)) == [f"frame_0000{i}.png" for i in range(5)]
+    csvs = glob.glob(str(tmp_path / "measurements" / "perf_log_chunktest_*.csv"))
+    with open(csvs[0]) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 6  # header + 5 frames
+    # every chunk bracket is attributed: frame_time > 0 past warmup... the
+    # 10-frame warmup swallows these 5 frames, so just check schema
+    assert rows[0] == [
+        "elapsed_sec", "version", "fps", "frame_time_ms", "cpu_time_ms",
+        "gpu_time_ms", "avg_fps", "min_fps", "max_fps", "std_dev_fps",
+        "avg_cpu_time_ms", "avg_gpu_time_ms",
+    ]
+
+
+def test_app_per_frame_loop_still_works(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "legacy")
+    rc = main(
+        ["--frames", "2", "--chunk", "1", "--width", "32", "--height", "16",
+         "--max-steps", "10", "--out", out, "--oracle"]
+    )
+    assert rc == 0
+    assert len(os.listdir(out)) == 2

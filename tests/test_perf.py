@@ -92,3 +92,47 @@ def test_time_fn_median():
 
     ms = time_fn(lambda x: x + 1, jnp.ones(8), warmup=1, iters=3)
     assert ms >= 0.0
+
+
+def test_cpu_gpu_times_are_warmup_gated():
+    """Compile-frame contamination regression: cpu/gpu samples recorded
+    during the warm-up window must be discarded (main.rs:77-94 analog)."""
+    from bhr_tpu.utils.perf import WARMUP_FRAMES, PerformanceStats
+
+    s = PerformanceStats()
+    for i in range(WARMUP_FRAMES):
+        s.record_frame_time_ms(1000.0)  # "compile" frames
+        s.update_cpu_time(2500.0)
+        s.update_gpu_time(2500.0)
+    assert s.avg_cpu_time() == 0.0 and s.avg_gpu_time() == 0.0
+    assert len(s.frame_times) == 0
+    s.record_frame_time_ms(5.0)
+    s.update_cpu_time(1.0)
+    s.update_gpu_time(4.0)
+    assert s.avg_cpu_time() == 1.0
+    assert s.avg_gpu_time() == 4.0
+    assert list(s.frame_times) == [5.0]
+
+
+def test_timestamp_query_subtracts_overhead():
+    import time as _time
+
+    from bhr_tpu.utils.timing import TimestampQuery
+
+    q = TimestampQuery(overhead_ms=1e6)  # absurd overhead -> floored at 0
+    q.begin()
+    _time.sleep(0.001)
+    q.end()
+    assert q.gpu_time_ms == 0.0
+    q2 = TimestampQuery()
+    q2.begin()
+    _time.sleep(0.005)
+    q2.end()
+    assert q2.gpu_time_ms >= 4.0
+
+
+def test_calibrate_dispatch_overhead_runs():
+    from bhr_tpu.utils.timing import calibrate_dispatch_overhead_ms
+
+    ms = calibrate_dispatch_overhead_ms(reps=3)
+    assert 0.0 <= ms < 10_000.0
