@@ -17,9 +17,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": <ms/frame slope>, "unit": "ms",
    "vs_baseline": <16/value>, ...}
 
+Kernel tuning: uses the committed on-device autotuner cache
+(.bhr_autotune.json) when it has an entry for this device/shape; re-derive
+with BHR_BENCH_AUTOTUNE=1 (one-time, ~15 min on the tunneled v5e).
+
 Env knobs: BHR_BENCH_W/H/STEPS/FRAMES/TILE (e.g. TILE=8x512),
-BHR_BENCH_FAST=0 (exact-parity kernel), BHR_BENCH_ORACLE=1 (XLA path),
-BHR_BENCH_AUTOTUNE=1 (run the on-device autotuner first).
+BHR_BENCH_KNOBS=eee,unroll,spc, BHR_BENCH_FAST=0 (exact-parity kernel),
+BHR_BENCH_ORACLE=1 (XLA path), BHR_BENCH_TEXTURE=bilinear|fast (render
+against a 4K equirect texture skybox instead of the analytic star field —
+the reference's actual workload shape).
 """
 
 import json
@@ -37,19 +43,46 @@ def main():
     n_frames = int(os.environ.get("BHR_BENCH_FRAMES", 240))
     tile_env = os.environ.get("BHR_BENCH_TILE")
     tile = tuple(int(x) for x in tile_env.split("x")) if tile_env else None
+    knobs_env = os.environ.get("BHR_BENCH_KNOBS")
+    knobs = tuple(int(x) for x in knobs_env.split(",")) if knobs_env else None
     fast_math = os.environ.get("BHR_BENCH_FAST", "1") == "1"
     use_pallas = os.environ.get("BHR_BENCH_ORACLE", "0") != "1"
+    texture = os.environ.get("BHR_BENCH_TEXTURE", "")
 
-    if tile is None and os.environ.get("BHR_BENCH_AUTOTUNE") == "1":
+    if os.environ.get("BHR_BENCH_AUTOTUNE") == "1":
         from bhr_tpu.utils.autotune import autotune
 
-        tile = tuple(autotune(width, height, max_steps, fast_math=fast_math)["tile"])
+        tuned = autotune(width, height, max_steps, fast_math=fast_math)
+    else:
+        from bhr_tpu.utils.autotune import load_tuned
+
+        tuned = load_tuned(width, height, max_steps, fast_math=fast_math)
+    if tuned:
+        if tile is None:
+            tile = tuple(tuned["tile"])
+        if knobs is None:
+            knobs = (
+                tuned.get("early_exit_every", 64),
+                tuned.get("unroll", 1),
+                tuned.get("steps_per_check", 1),
+            )
 
     from bhr_tpu import BlackHoleRenderer, SceneParams
     from bhr_tpu.animation import OrbitAnimator
 
+    skybox = None
+    texture_filter = "bilinear"
+    if texture:
+        # the reference's real workload: a 4K equirectangular star map
+        # sampled per terminated ray (src/ray_tracer_euler.wgsl:101-105)
+        from bhr_tpu.io.skybox import procedural_starfield
+
+        skybox = procedural_starfield(2048, 4096, seed=2020)
+        texture_filter = texture if texture in ("bilinear", "nearest", "fast") else "fast"
+
     renderer = BlackHoleRenderer(
-        width, height, use_pallas=use_pallas, tile=tile, fast_math=fast_math
+        width, height, use_pallas=use_pallas, tile=tile, fast_math=fast_math,
+        kernel_knobs=knobs, skybox=skybox, texture_filter=texture_filter,
     )
     scene = SceneParams(screen_width=width, screen_height=height, max_steps=max_steps)
     anim = OrbitAnimator(renderer)
@@ -63,10 +96,11 @@ def main():
         jax.block_until_ready(frames)
         return frames
 
-    # compile both scan lengths + init the device->host channel
+    # compile both scan lengths + init the device->host channel (required
+    # before timing: block_until_ready is only honest once it exists)
     frames = run(n_small, 0)
-    run(n_frames, n_small)
     _ = jax.device_get(frames[0, 0, 0])
+    run(n_frames, n_small)
 
     # timed, fresh start offsets so the remote executor cannot replay results
     t0 = time.perf_counter()
@@ -81,10 +115,11 @@ def main():
     overhead_ms = max(t_small * 1000.0 - slope_ms * n_small, 0.0)
     mray_steps = width * height * max_steps / (slope_ms / 1000.0) / 1e6
     target_ms = 16.0
+    suffix = f"_tex-{texture_filter}" if texture else ""
     print(
         json.dumps(
             {
-                "metric": f"ms_per_frame_{width}x{height}_steps{max_steps}",
+                "metric": f"ms_per_frame_{width}x{height}_steps{max_steps}{suffix}",
                 "value": round(slope_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(target_ms / slope_ms, 3),
@@ -94,8 +129,10 @@ def main():
                 "frames": n_frames,
                 "backend": jax.default_backend(),
                 "tile": list(renderer.tile),
+                "kernel_knobs": list(knobs) if knobs else None,
                 "fast_math": fast_math,
                 "pallas": use_pallas,
+                "texture": texture or None,
             }
         )
     )

@@ -42,6 +42,8 @@ APP_MAX_STEPS = 200
         "seed",
         "packed",
         "camera_fn",
+        "texture_filter",
+        "kernel_knobs",
     ),
 )
 def render_frames_scan(
@@ -61,6 +63,8 @@ def render_frames_scan(
     seed=2020,
     packed=False,
     camera_fn=None,
+    texture_filter="bilinear",
+    kernel_knobs=None,
 ):
     """Render frames at `times` (fp32[F]) in one fused lax.scan.
 
@@ -96,6 +100,8 @@ def render_frames_scan(
             interpret=interpret,
             seed=seed,
             packed=True,
+            texture_filter=texture_filter,
+            kernel_knobs=kernel_knobs,
         )
         return carry, frame
 
@@ -151,6 +157,8 @@ class PathAnimator:
             interpret=r.interpret,
             seed=r.skybox_seed,
             packed=packed,
+            texture_filter=getattr(r, "_sample_filter", "bilinear"),
+            kernel_knobs=r.kernel_knobs,
             **self._scan_kwargs(),
         )
 

@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--integrator", default="euler", choices=["euler", "rk4"],
                    help="geodesic integrator (replaces the reference --shader hot-swap)")
     # TPU-native extensions
-    p.add_argument("--model", default="schwarzschild", choices=["schwarzschild", "kerr", "flat"])
+    p.add_argument("--model", default="schwarzschild",
+                   choices=["schwarzschild", "kerr", "kerr_lt", "flat"],
+                   help="spacetime model: kerr = exact Kerr-Schild geodesics, "
+                        "kerr_lt = cheap Lense-Thirring approximation")
     p.add_argument("--spin", type=float, default=0.9, help="Kerr spin a/M (used with --model kerr)")
     p.add_argument("--adaptive", action="store_true", help="adaptive step size")
     p.add_argument("--disk", action="store_true", help="render the accretion disk")

@@ -1,11 +1,13 @@
-"""Kerr spacetime model (spinning black hole), approximate Cartesian form.
+"""Lense-Thirring Kerr approximation (registered as model "kerr_lt").
 
-The reference never implemented Kerr; its roadmap (reference:
-docs/ROADMAP.md:514-826) planned Boyer-Lindquist / Kerr-Schild geodesics.
-This module provides the capability in the same *approximate Cartesian*
-spirit as the reference's Schwarzschild integrator (wgsl:51-90): the
-Schwarzschild radial term plus a Lense-Thirring (gravito-magnetic) frame-
-dragging term, with the spin-dependent event-horizon radius.
+The exact Kerr model is models/kerr_schild.py (Hamiltonian geodesics in
+Kerr-Schild coordinates, the reference roadmap's specification —
+docs/ROADMAP.md:514-826), registered as "kerr". This module is the *cheap
+approximation* tier, in the same approximate-Cartesian spirit as the
+reference's Schwarzschild integrator (wgsl:51-90): the Schwarzschild radial
+term plus a Lense-Thirring (gravito-magnetic) frame-dragging term, with the
+spin-dependent event-horizon radius. ~2.5x fewer flops per step than
+Kerr-Schild; qualitatively correct dragging, no photon-ring accuracy.
 
 Conventions: geometric units with r_s = 2M. The spin parameter is the
 dimensionless a* = a/M in [0, 1). Spin axis is +Y (the disk/orbit plane of

@@ -19,11 +19,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..models import flat, kerr, schwarzschild
+from ..models import flat, kerr, kerr_schild, schwarzschild
 
 MODELS = {
     "schwarzschild": schwarzschild,
-    "kerr": kerr,
+    "kerr": kerr_schild,  # exact Kerr-Schild Hamiltonian geodesics
+    "kerr_lt": kerr,  # legacy cheap Lense-Thirring approximation
     "flat": flat,
 }
 
@@ -31,13 +32,23 @@ INTEGRATORS = ("euler", "rk4")
 
 
 def model_acceleration(model: str):
-    """Unified accel(rel, vel, r, rs, spin) for a named spacetime model."""
+    """Unified accel(rel, vel, r, rs, spin) for a named spacetime model.
+
+    The exact "kerr" model has no acceleration form — it integrates (q, p)
+    in Hamiltonian form (models/kerr_schild.py); ops/trace.py and the
+    Pallas kernels branch to it before reaching this lookup.
+    """
     if model == "schwarzschild":
         return lambda rel, vel, r, rs, spin: schwarzschild.acceleration(rel, vel, r, rs)
-    if model == "kerr":
+    if model == "kerr_lt":
         return kerr.acceleration
     if model == "flat":
         return flat.acceleration
+    if model == "kerr":
+        raise ValueError(
+            "model 'kerr' is Hamiltonian (Kerr-Schild); it has no "
+            "acceleration form — use the dedicated trace path"
+        )
     raise ValueError(f"unknown spacetime model {model!r}; have {sorted(MODELS)}")
 
 

@@ -20,17 +20,29 @@ Numerics: fp32 throughout, same operation order as ops/trace.py (the XLA
 oracle), which itself mirrors the WGSL. `fast_math=True` swaps IEEE
 sqrt/divide for rsqrt/reciprocal approximations in the hot loop.
 
-build_kernel emits one of four kernel flavors, picked by static config:
+build_kernel emits one of five kernel flavors, picked by static config:
 
-  1. exact   — bit-parity with the oracle; ray status in a VMEM scratch
-               ref (a status loop-carry trips a Mosaic relayout bug).
+  1. exact-scratch — bit-parity with the oracle; ray status in a VMEM
+               scratch ref (a status loop-carry trips a Mosaic relayout
+               bug). Selected when per-ray step counts are tracked (the
+               debug heatmap) or for kerr_lt exact.
   2. fused   — fast-math with folded coefficients, status-ful (used when
                the debug heatmap needs per-ray step counts).
-  3. stateless — fast-math; terminated rays freeze via dt_eff = 0, so
-               termination (capture/escape/disk-sentinel) is re-derived
-               from geometry each step: no state, no scratch, no selects.
-  4. monolithic — stateless + in-kernel analytic shading; one packed-u32
-               RGBA output plane (the benchmark path).
+  3. stateless — terminated rays freeze via dt_eff = 0, so termination
+               (capture/escape/disk-sentinel) is re-derived from geometry
+               each step: no state, no scratch, no selects. Two math
+               tiers: fast (rsqrt/approx-reciprocal, folded coefficients)
+               and exact (IEEE ops in oracle order with freeze guards that
+               are bit-exact no-ops for live rays — 2x faster than the
+               scratch kernel at the same numerics).
+  4. monolithic — stateless-fast + in-kernel analytic shading; one
+               packed-u32 RGBA output plane (the benchmark path).
+
+Spacetime models: schwarzschild and flat step (pos, vel) with an
+acceleration; "kerr" integrates (q, p) in Hamiltonian form on the exact
+Kerr-Schild metric (models/kerr_schild.py — horizon-penetrating, so the
+hot loop needs no singularity clamps); "kerr_lt" is the legacy cheap
+Lense-Thirring approximation.
 
 Outputs per pixel (flavors 1-3): final position (3 planes), final unit
 velocity (3 planes), status code, steps taken — shading happens downstream
@@ -180,7 +192,8 @@ def build_kernel(
             and not track_steps
             # turbo substeps probe past termination boundaries; only
             # schwarzschild/flat have the one_m clamp that keeps that safe
-            and config.model != "kerr"
+            # (kerr_lt's live rays cross one_m = 0; kerr is Hamiltonian)
+            and config.model in ("schwarzschild", "flat")
             and max_steps % steps_per_check == 0
             and (early_exit_every == 0 or (
                 early_exit_every % steps_per_check == 0
@@ -236,7 +249,7 @@ def build_kernel(
         if config.model == "flat":
             z = jnp.zeros_like(rel[0])
             return (z, z, z)
-        if config.model == "kerr":
+        if config.model == "kerr_lt":
             # Lense-Thirring gravito-magnetic term, spin axis +Y
             m = rs * 0.5
             j = spin * m * m
@@ -283,7 +296,7 @@ def build_kernel(
         nv = _vaxpy(vel, comb(k1v, k2v, k3v, k4v), sixth)
         return np_, nv
 
-    # Stateless fast kernel: freezing terminated rays with dt_eff = dt *
+    # Stateless kernel: freezing terminated rays with dt_eff = dt *
     # stepping makes termination a pure function of geometry — a captured
     # ray stays inside the capture sphere and an escaped ray stays outside
     # the escape sphere, so the stepping mask re-derives itself from r^2
@@ -292,9 +305,19 @@ def build_kernel(
     # join the same scheme by TELEPORTING the ray to a sentinel position
     # outside the escape sphere (y = 2.5 * escape_r) that encodes the hit
     # point in x/z; rk4 works because dt_eff = 0 zeroes every k. Selected
-    # for fast_math + no step tracking; status is recovered from the final
-    # geometry after the loop.
-    use_stateless = fast_math and not track_steps
+    # whenever per-ray step counts aren't needed; status is recovered from
+    # the final geometry after the loop.
+    #
+    # Works in BOTH math tiers: fast (rsqrt/approx-reciprocal, folded
+    # coefficients) and exact (IEEE sqrt/divide in the oracle's operation
+    # order — physics_substep_exact keeps live-ray arithmetic bit-identical
+    # to the scratch-status kernel while freezing via x*m + (1-m)*c guards,
+    # which are exact no-ops for m = 1). The exact tier replaced the
+    # scratch-status kernel as the BHR_BENCH_FAST=0 benchmark path: the
+    # per-step VMEM status traffic + select-freezing cost ~2x (31 ms vs
+    # 15.3 ms at 1080p x 500). kerr_lt has no exact stateless form (its
+    # fast path folds the LT drag differently) and keeps the scratch kernel.
+    use_stateless = not track_steps and (fast_math or config.model != "kerr_lt")
 
     def sl_deriv(p, v, rs, spin, clamp_one_m):
         """Folded-acceleration derivative for the stateless rk4 path."""
@@ -313,7 +336,7 @@ def build_kernel(
             p[1] * a2 - v[1] * a1,
             p[2] * a2 - v[2] * a1,
         )
-        if config.model == "kerr":
+        if config.model == "kerr_lt":
             mm = rs * 0.5
             j = spin * mm * mm
             inv_r3 = inv_rr * inv_rr * inv_rr
@@ -359,6 +382,142 @@ def build_kernel(
         nv = _vaxpy(vel, kv, sixth)
         return new_rel, _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
 
+    # ---- exact Kerr: Hamiltonian geodesics in Kerr-Schild form ------------
+    # Plane transcription of models/kerr_schild.py (q = position rel to BH,
+    # p = covariant momentum with p_t = -1). KS coordinates are horizon-
+    # penetrating: every quantity below is finite through r_+, so the
+    # dt-freeze scheme needs no clamps. _recip/jnp.sqrt follow the kernel's
+    # fast/IEEE flavor.
+    is_ks = config.model == "kerr"
+
+    def ks_r2(q, a2):
+        """KS radial coordinate squared (== |q|^2 at spin 0)."""
+        rho2 = _vdot(q, q)
+        b = rho2 - a2
+        disc = jnp.sqrt(b * b + 4.0 * a2 * (q[1] * q[1]))
+        return jnp.maximum(0.5 * (b + disc), 1e-12), rho2
+
+    def ks_all(q, p, rs, a):
+        """Aux + derivatives: (dq, dp, r2_ks, rho2, f, l)."""
+        a2 = a * a
+        x, y, z = q
+        px, py, pz = p
+        r2, rho2 = ks_r2(q, a2)
+        r = jnp.sqrt(r2)
+        y2 = y * y
+        w = r2 * r2 + a2 * y2
+        inv_w = _recip(w)
+        m = rs * 0.5
+        r3 = r2 * r
+        f = (2.0 * m) * r3 * inv_w
+        bb = r2 + a2
+        inv_bb = _recip(bb)
+        lx = (r * x + a * z) * inv_bb
+        inv_r = _recip(r)
+        ly = y * inv_r
+        lz = (r * z - a * x) * inv_bb
+        # dr/dq_i = r (r^2 q_i + a^2 y d_iy) / W
+        r_w = r * inv_w
+        drx = r_w * r2 * x
+        dry = r_w * bb * y  # r2 y + a2 y = (r2 + a2) y
+        drz = r_w * r2 * z
+        # df/dq_i = 2M [(3 r^2 W - 4 r^6) dr_i - 2 a^2 y r^3 d_iy] / W^2
+        g1 = (2.0 * m) * (3.0 * r2 * w - 4.0 * r3 * r3) * (inv_w * inv_w)
+        g2 = (4.0 * m) * a2 * r3 * (inv_w * inv_w)
+        dfx = g1 * drx
+        dfy = g1 * dry - g2 * y
+        dfz = g1 * drz
+        # dl_j/dq_i
+        two_r_invbb = 2.0 * r * inv_bb
+        inv_r2 = inv_r * inv_r
+        dlx_x = (x * drx + r) * inv_bb - lx * (two_r_invbb * drx)
+        dlx_y = (x * dry) * inv_bb - lx * (two_r_invbb * dry)
+        dlx_z = (x * drz + a) * inv_bb - lx * (two_r_invbb * drz)
+        dly_x = -y * inv_r2 * drx
+        dly_y = inv_r - y * inv_r2 * dry
+        dly_z = -y * inv_r2 * drz
+        dlz_x = (z * drx - a) * inv_bb - lz * (two_r_invbb * drx)
+        dlz_y = (z * dry) * inv_bb - lz * (two_r_invbb * dry)
+        dlz_z = (z * drz + r) * inv_bb - lz * (two_r_invbb * drz)
+        s = 1.0 + lx * px + ly * py + lz * pz
+        fs = f * s
+        dq = (px - fs * lx, py - fs * ly, pz - fs * lz)
+        hs2 = 0.5 * s * s
+        dp = (
+            hs2 * dfx + fs * (dlx_x * px + dly_x * py + dlz_x * pz),
+            hs2 * dfy + fs * (dlx_y * px + dly_y * py + dlz_y * pz),
+            hs2 * dfz + fs * (dlx_z * px + dly_z * py + dlz_z * pz),
+        )
+        return dq, dp, r2, rho2, f, (lx, ly, lz)
+
+    def ks_substep(q, p, dt_eff, rs, a):
+        """Semi-implicit Euler on (q, p): p' with dp(q, p), q' with dq(q, p')
+        — the reference shader's update order carried to Hamiltonian form."""
+        _, dp, _, _, f, l = ks_all(q, p, rs, a)
+        p2 = _vaxpy(p, dp, dt_eff)
+        s2 = 1.0 + _vdot(l, p2)
+        fs2 = f * s2
+        dq2 = (p2[0] - fs2 * l[0], p2[1] - fs2 * l[1], p2[2] - fs2 * l[2])
+        q2 = _vaxpy(q, dq2, dt_eff)
+        return q2, p2
+
+    def ks_rk4(q, p, dt_eff, rs, a):
+        def f(q, p):
+            dq, dp, _, _, _, _ = ks_all(q, p, rs, a)
+            return dq, dp
+
+        half = 0.5 * dt_eff
+        k1q, k1p = f(q, p)
+        k2q, k2p = f(_vaxpy(q, k1q, half), _vaxpy(p, k1p, half))
+        k3q, k3p = f(_vaxpy(q, k2q, half), _vaxpy(p, k2p, half))
+        k4q, k4p = f(_vaxpy(q, k3q, dt_eff), _vaxpy(p, k3p, dt_eff))
+        sixth = dt_eff * (1.0 / 6.0)
+
+        def comb(k1, k2, k3, k4):
+            return (
+                k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0],
+                k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1],
+                k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2],
+            )
+
+        return _vaxpy(q, comb(k1q, k2q, k3q, k4q), sixth), _vaxpy(
+            p, comb(k1p, k2p, k3p, k4p), sixth
+        )
+
+    def ks_init_p(q0_scalar, d, rs, a):
+        """Null momentum with E = 1 from scalar camera position + direction
+        planes (f/l at the camera are per-frame scalars from SMEM)."""
+        a2 = a * a
+        x, y, z = q0_scalar
+        rho2 = x * x + y * y + z * z
+        b = rho2 - a2
+        r2 = jnp.maximum(0.5 * (b + jnp.sqrt(b * b + 4.0 * a2 * y * y)), 1e-12)
+        r = jnp.sqrt(r2)
+        w = r2 * r2 + a2 * y * y
+        f = (rs) * r2 * r / w  # 2M = rs
+        bb = r2 + a2
+        lx = (r * x + a * z) / bb
+        ly = y / r
+        lz = (r * z - a * x) / bb
+        c = lx * d[0] + ly * d[1] + lz * d[2]
+        disc = jnp.sqrt(jnp.maximum(1.0 - f * (1.0 - c * c), 1e-12))
+        ut = (f * c + disc) / jnp.maximum(1.0 - f, 1e-6)
+        big_l = ut + c
+        fl = f * big_l
+        e_inv = _recip(jnp.maximum(ut - fl, 1e-12))
+        return (
+            (d[0] + fl * lx) * e_inv,
+            (d[1] + fl * ly) * e_inv,
+            (d[2] + fl * lz) * e_inv,
+        )
+
+    def ks_direction(q, p, rs, a):
+        """Normalized coordinate direction dq/dl — the shading direction."""
+        dq, _, _, _, _, _ = ks_all(q, p, rs, a)
+        if fast_math:
+            return _vscale(dq, jax.lax.rsqrt(_vdot(dq, dq)))
+        return _vnorm(dq)
+
     def _stateless_trace(params):
         """Shared stateless trace loop -> (rel, vel, final r2, bh, cap2, esc2)."""
         gi = pl.program_id(0)
@@ -396,6 +555,14 @@ def build_kernel(
         ones = jnp.ones((th, tw), jnp.float32)
         rel0 = (cam[0] - bh[0] + 0.0 * ones, cam[1] - bh[1] + 0.0 * ones,
                 cam[2] - bh[2] + 0.0 * ones)
+        a_spin = spin * rs * 0.5  # a = a* M, scalar (SMEM)
+        if is_ks:
+            # the "vel" planes carry covariant momentum p for the exact
+            # Kerr model; converted back to a direction after the loop
+            vel0 = ks_init_p(
+                (cam[0] - bh[0], cam[1] - bh[1], cam[2] - bh[2]),
+                vel0, rs, a_spin,
+            )
 
         def physics_substep(rel, vel, r2, inv_r, dt_eff):
             """One Euler sub-step with folded coefficients; returns rel', v'."""
@@ -425,7 +592,7 @@ def build_kernel(
                     vel[1] * b1 + rel[1] * b2,
                     vel[2] * b1 + rel[2] * b2,
                 )
-                if config.model == "kerr":
+                if config.model == "kerr_lt":
                     # Lense-Thirring drag (models/kerr.py), dt_eff-gated
                     mm = rs * 0.5
                     j = spin * mm * mm
@@ -440,6 +607,94 @@ def build_kernel(
             nv = _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
             return new_rel, nv
 
+        def _freeze_guard(x, m, safe):
+            """x for live rays (m = 1) BIT-EXACTLY (x * 1.0 + 0.0 == x in
+            IEEE), `safe` for frozen rays — keeps frozen-ray denominators
+            finite without perturbing live arithmetic."""
+            return x * m + (1.0 - m) * safe
+
+        def physics_substep_exact(rel, vel, r, dt_eff, m):
+            """Oracle-order IEEE Euler sub-step (mirrors accel()'s exact
+            branch + wgsl:80-85 update order + per-step renormalization).
+
+            dt_eff = dt * m freezes terminated rays; every quantity a frozen
+            ray evaluates stays finite (guards), and a*0 = +-0 followed by
+            vel + +-0 leaves vel unchanged (up to -0 -> +0, which cannot
+            change any downstream texel)."""
+            if config.model == "flat":
+                nv = vel
+            else:
+                r_vec = (rel[0] / r, rel[1] / r, rel[2] / r)
+                rs_over_r = rs / r
+                one_m = 1.0 - rs_over_r
+                # frozen captured rays can sit at one_m <= 0 (r <= rs)
+                one_m = _freeze_guard(one_m, m, 0.5)
+                factor = rs / (2.0 * r * r * one_m)  # wgsl:74 literal order
+                v_rad = _vdot(vel, r_vec)
+                one_p = 1.0 + rs_over_r
+                # expression trees kept IDENTICAL to accel() + _vaxpy so the
+                # compiler makes the same FMA-contraction choices as the
+                # scratch-status kernel (bit parity across programs)
+                ax = (
+                    -factor * (vel[0] * one_m - r_vec[0] * v_rad * one_p),
+                    -factor * (vel[1] * one_m - r_vec[1] * v_rad * one_p),
+                    -factor * (vel[2] * one_m - r_vec[2] * v_rad * one_p),
+                )
+                nv = _vaxpy(vel, ax, dt_eff)
+            new_rel = _vaxpy(rel, nv, dt_eff)
+            s = jnp.sqrt(_vdot(nv, nv))
+            s = _freeze_guard(s, m, 1.0)  # frozen: divide by exactly 1.0
+            return new_rel, (nv[0] / s, nv[1] / s, nv[2] / s)
+
+        def sl_rk4_exact(rel, vel, dt_eff, m):
+            """IEEE RK4 mirroring ops/geodesic.rk4_step (substep radii
+            guarded away from r = rs exactly like the oracle)."""
+            if config.model == "flat":
+                return _vaxpy(rel, vel, dt_eff), vel
+            guard = 1.0001 * jnp.maximum(rs, 1e-6)
+
+            def deriv(p, v):
+                rr = jnp.maximum(jnp.sqrt(_vdot(p, p)), guard)
+                r_vec = (p[0] / rr, p[1] / rr, p[2] / rr)
+                rs_over_r = rs / rr
+                one_m = 1.0 - rs_over_r
+                factor = rs / (2.0 * rr * rr * one_m)
+                v_rad = _vdot(v, r_vec)
+                one_p = 1.0 + rs_over_r
+                return (
+                    -factor * (v[0] * one_m - r_vec[0] * v_rad * one_p),
+                    -factor * (v[1] * one_m - r_vec[1] * v_rad * one_p),
+                    -factor * (v[2] * one_m - r_vec[2] * v_rad * one_p),
+                )
+
+            half = 0.5 * dt_eff
+            k1v = deriv(rel, vel)
+            p2 = _vaxpy(rel, vel, half)
+            v2 = _vaxpy(vel, k1v, half)
+            k2v = deriv(p2, v2)
+            p3 = _vaxpy(rel, v2, half)
+            v3 = _vaxpy(vel, k2v, half)
+            k3v = deriv(p3, v3)
+            p4 = _vaxpy(rel, v3, dt_eff)
+            v4 = _vaxpy(vel, k3v, dt_eff)
+            k4v = deriv(p4, v4)
+            sixth = dt_eff * (1.0 / 6.0)
+            kp = (
+                vel[0] + 2.0 * (v2[0] + v3[0]) + v4[0],
+                vel[1] + 2.0 * (v2[1] + v3[1]) + v4[1],
+                vel[2] + 2.0 * (v2[2] + v3[2]) + v4[2],
+            )
+            kv = (
+                k1v[0] + 2.0 * (k2v[0] + k3v[0]) + k4v[0],
+                k1v[1] + 2.0 * (k2v[1] + k3v[1]) + k4v[1],
+                k1v[2] + 2.0 * (k2v[2] + k3v[2]) + k4v[2],
+            )
+            new_rel = _vaxpy(rel, kp, sixth)
+            nv = _vaxpy(vel, kv, sixth)
+            s = jnp.sqrt(_vdot(nv, nv))
+            s = _freeze_guard(s, m, 1.0)
+            return new_rel, (nv[0] / s, nv[1] / s, nv[2] / s)
+
         disk_sentinel_y = 2.5 * escape_r_param
         r_isco = params[_P_RISCO]
         r_outer = params[_P_ROUTER]
@@ -448,21 +703,50 @@ def build_kernel(
             i, relx, rely, relz, velx, vely, velz = carry
             rel = (relx, rely, relz)
             vel = (velx, vely, velz)
-            r2 = _vdot(rel, rel)
-            # in-bounds == still integrating; frozen rays stay out of bounds
-            stepping = (r2 <= esc2) & (r2 >= cap2)
-            m = stepping.astype(jnp.float32)
-            inv_r = jax.lax.rsqrt(r2)
+            if is_ks:
+                # escape on coordinate distance, capture on the KS radial
+                # coordinate (the horizon lives at r_+ in KS r)
+                r2cap, r2 = ks_r2(rel, a_spin * a_spin)
+                stepping = (r2 <= esc2) & (r2cap >= cap2)
+                m = stepping.astype(jnp.float32)
+                r_exact = None
+            elif fast_math:
+                r2cap = r2 = _vdot(rel, rel)
+                # in-bounds == still integrating; frozen rays stay out of bounds
+                stepping = (r2 <= esc2) & (r2 >= cap2)
+                m = stepping.astype(jnp.float32)
+                r_exact = None
+            else:
+                # exact tier: compare the sqrt'd radius against the raw
+                # radii exactly like the oracle (r^2-space comparisons can
+                # disagree by an ulp at the boundary)
+                r2cap = r2 = _vdot(rel, rel)
+                r_exact = jnp.sqrt(r2)
+                stepping = (r_exact <= escape_r_param) & (r_exact >= params[_P_CAP])
+                m = stepping.astype(jnp.float32)
             if config.adaptive:
-                r = r2 * inv_r
-                dt_eff = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0) * m
+                if r_exact is None:
+                    rc = r2cap * jax.lax.rsqrt(r2cap)
+                else:
+                    rc = r_exact
+                dt_eff = base_dt * jnp.clip((rc - rs) * 0.1, 0.01, 1.0) * m
             else:
                 dt_eff = base_dt * m
             old_rel = rel
-            if config.integrator == "rk4":
-                rel, vel = sl_rk4(rel, vel, dt_eff, rs, spin)
+            if is_ks:
+                if config.integrator == "rk4":
+                    rel, vel = ks_rk4(rel, vel, dt_eff, rs, a_spin)
+                else:
+                    rel, vel = ks_substep(rel, vel, dt_eff, rs, a_spin)
+            elif config.integrator == "rk4":
+                if fast_math:
+                    rel, vel = sl_rk4(rel, vel, dt_eff, rs, spin)
+                else:
+                    rel, vel = sl_rk4_exact(rel, vel, dt_eff, m)
+            elif fast_math:
+                rel, vel = physics_substep(rel, vel, r2, jax.lax.rsqrt(r2), dt_eff)
             else:
-                rel, vel = physics_substep(rel, vel, r2, inv_r, dt_eff)
+                rel, vel = physics_substep_exact(rel, vel, r_exact, dt_eff, m)
             if config.disk:
                 # equatorial crossing in the annulus -> teleport to the
                 # sentinel: y = 2.5 * escape_r marks "disk hit", x/z keep
@@ -471,9 +755,8 @@ def build_kernel(
                 # re-trigger (oy * ny = oy^2 >= 0).
                 oy, ny = old_rel[1], rel[1]
                 crosses = oy * ny < 0.0
-                tt = -oy * pl.reciprocal(
-                    jnp.where(crosses, ny - oy, 1.0), approx=True
-                )
+                den = jnp.where(crosses, ny - oy, 1.0)
+                tt = -oy * (pl.reciprocal(den, approx=True) if fast_math else 1.0 / den)
                 hx = old_rel[0] + tt * (rel[0] - old_rel[0])
                 hz = old_rel[2] + tt * (rel[2] - old_rel[2])
                 hr2 = hx * hx + hz * hz
@@ -500,11 +783,19 @@ def build_kernel(
 
             def cond(carry):
                 rel = (carry[1], carry[2], carry[3])
-                r2 = _vdot(rel, rel)
-                return jnp.logical_and(
-                    carry[0] < max_steps,
-                    jnp.any((r2 <= esc2) & (r2 >= cap2)),
-                )
+                if is_ks:
+                    r2cap, r2 = ks_r2(rel, a_spin * a_spin)
+                    live = (r2 <= esc2) & (r2cap >= cap2)
+                elif fast_math:
+                    r2 = _vdot(rel, rel)
+                    live = (r2 <= esc2) & (r2 >= cap2)
+                else:
+                    # must mirror the body's r-space comparisons exactly:
+                    # an r^2-space check could retire a boundary ray an
+                    # iteration early and break bit parity
+                    r = jnp.sqrt(_vdot(rel, rel))
+                    live = (r <= escape_r_param) & (r >= params[_P_CAP])
+                return jnp.logical_and(carry[0] < max_steps, jnp.any(live))
 
             if max_steps % n_inner == 0:
                 def outer_body(carry):
@@ -519,12 +810,19 @@ def build_kernel(
             carry = jax.lax.while_loop(cond, outer_body, init)
 
         _, relx, rely, relz, velx, vely, velz = carry
-        r2 = relx * relx + rely * rely + relz * relz
+        rel = (relx, rely, relz)
+        vel = (velx, vely, velz)
+        if is_ks:
+            r2cap, r2 = ks_r2(rel, a_spin * a_spin)
+            # p (frozen at termination) -> coordinate direction for shading
+            vel = ks_direction(rel, vel, rs, a_spin)
+        else:
+            r2cap = r2 = _vdot(rel, rel)
         disk_thresh = 1.5 * escape_r_param  # sentinel y = 2.5 * escape_r
-        return (relx, rely, relz), (velx, vely, velz), r2, bh, cap2, esc2, disk_thresh
+        return rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh
 
     def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):
-        rel, vel, r2, bh, cap2, esc2, disk_thresh = _stateless_trace(params)
+        rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh = _stateless_trace(params)
         if config.disk:
             is_disk = rel[1] > disk_thresh
             px_o[:] = rel[0] + bh[0]
@@ -536,7 +834,7 @@ def build_kernel(
                 disk_i * STATUS_DISK
                 + (1 - disk_i)
                 * (
-                    (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
+                    (r2cap < cap2).astype(jnp.int32) * STATUS_CAPTURED
                     + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
                 )
             )
@@ -545,7 +843,7 @@ def build_kernel(
             py_o[:] = rel[1] + bh[1]
             pz_o[:] = rel[2] + bh[2]
             status_o[:] = (
-                (r2 < cap2).astype(jnp.int32) * STATUS_CAPTURED
+                (r2cap < cap2).astype(jnp.int32) * STATUS_CAPTURED
                 + (r2 > esc2).astype(jnp.int32) * STATUS_ESCAPED
             )
         vx_o[:] = vel[0]
@@ -560,9 +858,9 @@ def build_kernel(
         dispatch on the fast path."""
         from .starfield import procedural_background
 
-        rel, vel, r2, bh, cap2, esc2, _ = _stateless_trace(params)
+        rel, vel, r2, r2cap, bh, cap2, esc2, _ = _stateless_trace(params)
         r, g, b = procedural_background(vel[0], vel[1], vel[2], seed=shade_seed)
-        live = (r2 >= cap2).astype(jnp.float32)
+        live = (r2cap >= cap2).astype(jnp.float32)
         # round-half-up quantization (Mosaic has no round-to-even; within
         # the fast tier's tolerance vs the epilogue's jnp.round)
         def q(c):
@@ -761,6 +1059,8 @@ def build_kernel(
             st_ref[:] = status
             return (i + 1, rel[0], rel[1], rel[2], vel[0], vel[1], vel[2], steps)
 
+        a_spin = spin * rs * 0.5  # a = a* M (exact Kerr)
+
         def body(carry):
             if use_fused:
                 return body_fast(carry)
@@ -772,21 +1072,34 @@ def build_kernel(
             rel = (pos[0] - bh[0], pos[1] - bh[1], pos[2] - bh[2])
             r2 = _vdot(rel, rel)
             r = jnp.sqrt(r2)
+            if is_ks:
+                # capture lives at r_+ in the KS radial coordinate
+                r_cap = jnp.sqrt(ks_r2(rel, a_spin * a_spin)[0])
+            else:
+                r_cap = r
             # steps_taken = i+1 while active == "+1 per entered iteration";
             # written as vector arithmetic (scalar-operand selects also trip
             # the Mosaic relayout bug)
             if track_steps:
                 steps = steps + active.astype(jnp.int32)
             escaped = active & (r > escape_r)
-            captured = active & (~escaped) & (r < capture_r)
+            captured = active & (~escaped) & (r_cap < capture_r)
             stepping = active & (~escaped) & (~captured)
 
             if config.adaptive:
-                dt = base_dt * jnp.clip((r - rs) * 0.1, 0.01, 1.0)
+                dt = base_dt * jnp.clip((r_cap - rs) * 0.1, 0.01, 1.0)
             else:
                 dt = base_dt
-            new_rel, new_vel = step_fn(rel, vel, r, r2, rs, spin, dt)
-            new_vel_n = _vnorm(new_vel)
+            if is_ks:
+                # Hamiltonian step on (q, p); the vel slots carry p — no
+                # renormalization (|p| is not conserved, E = -p_t is)
+                if config.integrator == "rk4":
+                    new_rel, new_vel_n = ks_rk4(rel, vel, dt, rs, a_spin)
+                else:
+                    new_rel, new_vel_n = ks_substep(rel, vel, dt, rs, a_spin)
+            else:
+                new_rel, new_vel = step_fn(rel, vel, r, r2, rs, spin, dt)
+                new_vel_n = _vnorm(new_vel)
             new_pos = _vadd(new_rel, bh)
 
             if config.disk:
@@ -816,6 +1129,11 @@ def build_kernel(
             state0 = (pos0[0] - bh[0], pos0[1] - bh[1], pos0[2] - bh[2])
         else:
             state0 = pos0
+        if is_ks:
+            vel0 = ks_init_p(
+                (cam[0] - bh[0], cam[1] - bh[1], cam[2] - bh[2]),
+                vel0, rs, a_spin,
+            )
         init = (
             jnp.int32(0),
             state0[0], state0[1], state0[2],
@@ -859,6 +1177,10 @@ def build_kernel(
         _, posx, posy, posz, velx, vely, velz, steps = carry
         if use_fused:  # fused path carries rel; shift back to absolute
             posx, posy, posz = posx + bh[0], posy + bh[1], posz + bh[2]
+        if is_ks:
+            # the carried p (frozen at termination) -> shading direction
+            relf = (posx - bh[0], posy - bh[1], posz - bh[2])
+            velx, vely, velz = ks_direction(relf, (velx, vely, velz), rs, a_spin)
         px_o[:] = posx
         py_o[:] = posy
         pz_o[:] = posz

@@ -74,18 +74,32 @@ def _unpack_rgb(word):
     return r, g, b
 
 
-def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz):
-    """Planar bilinear equirect sample from a packed-u32 texture.
+def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
+                           filter: str = "bilinear"):
+    """Planar equirect sample from a packed-u32 texture.
 
     Same sampler semantics as sample_equirect (Repeat-U/Clamp-V, half-texel
     centers, k/255 Rgba8Unorm values — reference lib.rs:414-421), but
-    operating on (...,)-shaped direction component planes and issuing only
-    4 gathers. Returns (r, g, b) planes.
+    operating on (...,)-shaped direction component planes.
+
+    Gathers are the whole cost on TPU (~7.4 ns per index on v5e — a scalar-
+    unit loop; access pattern and table size are irrelevant, measured in
+    scripts/gather_bench.py), so the formulation minimizes index count and
+    flattens to 1-D takes (2D fancy indexing costs ~1.5x more):
+
+      filter="bilinear" — exact bilinear, 4 flat gathers (~60 ms at 1080p);
+      filter="nearest"  — wgpu FilterMode::Nearest semantics, 1 flat gather
+                          (~15 ms at 1080p): the real-time texture tier.
     """
     h, w = packed_texture.shape
+    flat = packed_texture.reshape(-1)
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     u = 0.5 + jnp.arctan2(dz, dx) / jnp.float32(6.28318530718)
     v = 0.5 - jnp.arcsin(jnp.clip(dy * inv, -1.0, 1.0)) / jnp.float32(3.14159265359)
+    if filter == "nearest":
+        xn = jnp.mod(jnp.floor(u * w).astype(jnp.int32), w)
+        yn = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+        return _unpack_rgb(jnp.take(flat, yn * w + xn))
     x = u * w - 0.5
     y = v * h - 0.5
     x0f = jnp.floor(x)
@@ -96,16 +110,71 @@ def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz):
     x1 = jnp.mod(x0 + 1, w)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
     y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
-    c00 = _unpack_rgb(packed_texture[y0, x0])
-    c10 = _unpack_rgb(packed_texture[y0, x1])
-    c01 = _unpack_rgb(packed_texture[y1, x0])
-    c11 = _unpack_rgb(packed_texture[y1, x1])
+    y0w = y0 * w
+    y1w = y1 * w
+    c00 = _unpack_rgb(jnp.take(flat, y0w + x0))
+    c10 = _unpack_rgb(jnp.take(flat, y0w + x1))
+    c01 = _unpack_rgb(jnp.take(flat, y1w + x0))
+    c11 = _unpack_rgb(jnp.take(flat, y1w + x1))
     out = []
     for k in range(3):
         top = c00[k] * (1.0 - fx) + c10[k] * fx
         bot = c01[k] * (1.0 - fx) + c11[k] * fx
         out.append(top * (1.0 - fy) + bot * fy)
     return tuple(out)
+
+
+FAST_FILTER_UPSAMPLE = 4
+
+
+def prefilter_packed_texture(packed: jnp.ndarray, factor: int = FAST_FILTER_UPSAMPLE):
+    """Upsample a packed-u32 equirect texture by `factor` with the exact
+    Repeat-U/Clamp-V bilinear filter — entirely gather-free (the resample
+    positions form `factor` static phases per axis, so each output phase is
+    one static shift-and-blend over the whole plane).
+
+    Nearest sampling of the result equals bilinear sampling of the original
+    with the fractional weights quantized to 1/factor — the "fast" texture
+    tier: ONE gather per pixel instead of four, at sub-texel positional
+    quantization (invisible for star fields; worst case a hard one-texel
+    edge shifts by 1/(2*factor) texel). Memory cost: factor^2 x (a 4K
+    texture becomes 512 MB in HBM at factor 4)."""
+    h, w = packed.shape
+    r, g, b = _unpack_rgb(packed)
+    a = (packed >> 24).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+    def up_axis(plane, axis, wrap):
+        n = plane.shape[axis]
+        phases = []
+        for p in range(factor):
+            x = (p + 0.5) / factor - 0.5  # position in source texel units
+            base = 0 if x >= 0 else -1  # floor(x) for |x| < 1
+            frac = jnp.float32(x - base)
+            lo = jnp.roll(plane, -base, axis=axis)
+            hi = jnp.roll(plane, -(base + 1), axis=axis)
+            if not wrap:  # ClampToEdge: un-wrap the rolled border rows
+                if base < 0:
+                    first = jax.lax.index_in_dim(plane, 0, axis, keepdims=True)
+                    lo = jax.lax.concatenate([first, jax.lax.slice_in_dim(plane, 0, n - 1, axis=axis)], axis)
+                last = jax.lax.index_in_dim(plane, n - 1, axis, keepdims=True)
+                if base + 1 >= 1:
+                    hi = jax.lax.concatenate([jax.lax.slice_in_dim(plane, 1, n, axis=axis), last], axis)
+                elif base + 1 <= 0:
+                    hi = plane
+            out_p = lo * (1.0 - frac) + hi * frac
+            phases.append(out_p)
+        stacked = jnp.stack(phases, axis=axis + 1)  # (.., n, factor, ..)
+        new_shape = list(plane.shape)
+        new_shape[axis] = n * factor
+        return stacked.reshape(new_shape)
+
+    planes = []
+    for plane in (r, g, b, a):
+        plane = up_axis(plane, 1, wrap=True)   # U: Repeat
+        plane = up_axis(plane, 0, wrap=False)  # V: ClampToEdge
+        planes.append(plane)
+    q = lambda c: jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    return q(planes[0]) | (q(planes[1]) << 8) | (q(planes[2]) << 16) | (q(planes[3]) << 24)
 
 
 def pack_rgba8_planes(r, g, b, alpha: float = 1.0) -> jnp.ndarray:

@@ -79,11 +79,17 @@ def trace_rays(
 
     origins/directions: fp32 (..., 3). bh_pos fp32[3]; rs/spin fp32 scalars.
     """
-    accel_fn = model_acceleration(config.model)
-    step_fn = STEP_FNS[config.integrator]
     rs = jnp.asarray(rs, jnp.float32)
     spin = jnp.asarray(spin, jnp.float32)
     bh_pos = jnp.asarray(bh_pos, jnp.float32)
+    if config.model == "kerr":
+        # exact Kerr geodesics integrate (q, p) in Hamiltonian form — a
+        # different state layout than the (pos, vel) acceleration models
+        return _trace_rays_kerr_schild(
+            origins, directions, bh_pos, rs, spin, max_steps, config
+        )
+    accel_fn = model_acceleration(config.model)
+    step_fn = STEP_FNS[config.integrator]
     r_capture = model_capture_radius(config.model, rs, spin)
     if config.model == "schwarzschild":
         # keep the literal wgsl:62 expression for bit-parity
@@ -142,3 +148,95 @@ def trace_rays(
         cond, body, (jnp.int32(0), pos0, vel0, status0, steps0)
     )
     return TraceResult(final_pos=pos, final_vel=vel, status=status, steps=steps)
+
+
+def _trace_rays_kerr_schild(
+    origins, directions, bh_pos, rs, spin, max_steps, config: TraceConfig
+) -> TraceResult:
+    """Exact Kerr null geodesics in Cartesian Kerr-Schild coordinates.
+
+    Hamiltonian integration of (q, p) with conserved E = -p_t = 1
+    (models/kerr_schild.py; reference roadmap: docs/ROADMAP.md:514-826).
+    Loop structure, step semantics, and termination bookkeeping mirror the
+    main trace loop; capture tests use the Kerr-Schild radial coordinate
+    (the horizon lives at r_+ in KS r, not in coordinate distance).
+    """
+    from ..models import kerr_schild as ks
+
+    r_capture = ks.capture_radius(rs, spin)
+    r_isco = config.disk_r_isco_factor * rs
+    r_outer = config.disk_r_outer_factor * rs
+
+    q0 = jnp.asarray(origins, jnp.float32) - bh_pos
+    d = jnp.asarray(directions, jnp.float32)
+    d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    p0 = ks.init_momentum(q0, d, rs, spin)
+    batch_shape = q0.shape[:-1]
+    status0 = jnp.zeros(batch_shape, jnp.int32)
+    steps0 = jnp.zeros(batch_shape, jnp.int32)
+
+    def step_euler(q, p, dt):
+        # semi-implicit: p first, then q with the updated p (the reference
+        # shader's update order, wgsl:80-85, carried over to (q, p))
+        _, dp = ks.derivs(q, p, rs, spin)
+        p2 = p + dp * dt
+        dq2, _ = ks.derivs(q, p2, rs, spin)
+        return q + dq2 * dt, p2
+
+    def step_rk4(q, p, dt):
+        def f(q, p):
+            return ks.derivs(q, p, rs, spin)
+
+        k1q, k1p = f(q, p)
+        k2q, k2p = f(q + 0.5 * dt * k1q, p + 0.5 * dt * k1p)
+        k3q, k3p = f(q + 0.5 * dt * k2q, p + 0.5 * dt * k2p)
+        k4q, k4p = f(q + dt * k3q, p + dt * k3p)
+        sixth = dt * (1.0 / 6.0)
+        return (
+            q + sixth * (k1q + 2.0 * k2q + 2.0 * k3q + k4q),
+            p + sixth * (k1p + 2.0 * k2p + 2.0 * k3p + k4p),
+        )
+
+    step = step_rk4 if config.integrator == "rk4" else step_euler
+
+    def cond(carry):
+        i, q, p, status, steps = carry
+        return jnp.logical_and(i < max_steps, jnp.any(status == STATUS_RUNNING))
+
+    def body(carry):
+        i, q, p, status, steps = carry
+        active = status == STATUS_RUNNING
+        rho = jnp.sqrt(jnp.sum(q * q, axis=-1))
+        r_ks = ks.ks_radius(q, rs, spin)
+        steps = jnp.where(active, i + 1, steps)
+        escaped = active & (rho > config.escape_radius)
+        captured = active & ~escaped & (r_ks < r_capture)
+        stepping = active & ~escaped & ~captured
+
+        dt = (
+            adaptive_dt(r_ks, rs, config.dt)
+            if config.adaptive
+            else jnp.full_like(rho, config.dt)
+        )
+        new_q, new_p = step(q, p, dt[..., None])
+
+        if config.disk:
+            hit, hit_rel = intersect_equatorial(q, new_q, r_isco, r_outer)
+            hit = hit & stepping
+            new_q = jnp.where(hit[..., None], hit_rel, new_q)
+            status = jnp.where(hit, STATUS_DISK, status)
+
+        m3 = stepping[..., None]
+        q = jnp.where(m3, new_q, q)
+        p = jnp.where(m3, new_p, p)
+        status = jnp.where(escaped, STATUS_ESCAPED, status)
+        status = jnp.where(captured, STATUS_CAPTURED, status)
+        return i + 1, q, p, status, steps
+
+    _, q, p, status, steps = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), q0, p0, status0, steps0)
+    )
+    # q and p are frozen at each ray's termination step, so evaluating the
+    # coordinate direction here yields exactly the at-termination direction
+    vel = ks.final_direction(q, p, rs, spin)
+    return TraceResult(final_pos=q + bh_pos, final_vel=vel, status=status, steps=steps)

@@ -72,6 +72,7 @@ def _render_band(
     tonemap,
     interpret,
     seed=2020,
+    texture_filter="bilinear",
 ):
     """Render rows [row0, row0+band_h) of the full image -> packed u32 band.
 
@@ -119,7 +120,9 @@ def _render_band(
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
     else:
-        background = functools.partial(sample_equirect_packed, skybox)
+        background = functools.partial(
+            sample_equirect_packed, skybox, filter=texture_filter
+        )
     tm = TONEMAPS[tonemap]
     return shade_planes_packed(
         result,
@@ -137,7 +140,8 @@ def _render_band(
 
 @functools.lru_cache(maxsize=128)
 def _frame_program(
-    mesh, band_h, config, use_pallas, tile, fast_math, tonemap, interpret, seed
+    mesh, band_h, config, use_pallas, tile, fast_math, tonemap, interpret,
+    seed, texture_filter,
 ):
     """Build (once per static configuration) the jitted sharded-frame
     program. Callers hit this cache instead of re-closing and re-jitting a
@@ -151,7 +155,7 @@ def _frame_program(
             camera, scene, skybox, disk_params, lut, row0, band_h,
             config=config, use_pallas=use_pallas, tile=tile,
             fast_math=fast_math, tonemap=tonemap, interpret=interpret,
-            seed=seed,
+            seed=seed, texture_filter=texture_filter,
         )
 
     fn = jax.shard_map(
@@ -179,6 +183,7 @@ def render_frame_sharded(
     tonemap: str = "passthrough",
     interpret: bool | None = None,
     seed: int = 2020,
+    texture_filter: str = "bilinear",
 ):
     """One frame with pixel rows sharded over the mesh's 'sp' axis.
 
@@ -197,7 +202,7 @@ def render_frame_sharded(
     program = _frame_program(
         mesh, band_h, config, use_pallas,
         tuple(tile) if tile is not None else None,
-        fast_math, tonemap, interpret, seed,
+        fast_math, tonemap, interpret, seed, texture_filter,
     )
     packed = program(camera, scene, skybox, disk_params, lut)
     return unpack_frame(packed[:height])
@@ -220,6 +225,7 @@ def render_animation_sharded(
     interpret: bool | None = None,
     with_stats: bool = True,
     seed: int = 2020,
+    texture_filter: str = "bilinear",
 ):
     """Animation with frames sharded over 'dp' and rows over 'sp'.
 
@@ -245,7 +251,7 @@ def render_animation_sharded(
     program = _animation_program(
         mesh, band_h, tuple(float(x) for x in orbit), config, use_pallas,
         tuple(tile) if tile is not None else None,
-        fast_math, tonemap, interpret, with_stats, seed,
+        fast_math, tonemap, interpret, with_stats, seed, texture_filter,
     )
     frames, lums = program(times, scene, skybox, disk_params, lut)
     frames = unpack_frame(frames[:, :height])
@@ -257,7 +263,7 @@ def render_animation_sharded(
 @functools.lru_cache(maxsize=128)
 def _animation_program(
     mesh, band_h, orbit, config, use_pallas, tile, fast_math, tonemap,
-    interpret, with_stats, seed,
+    interpret, with_stats, seed, texture_filter,
 ):
     """Jitted sharded-animation program, cached per static configuration
     (see _frame_program)."""
@@ -273,7 +279,7 @@ def _animation_program(
                 cam, scene, skybox, disk_params, lut, row0, band_h,
                 config=config, use_pallas=use_pallas, tile=tile,
                 fast_math=fast_math, tonemap=tonemap, interpret=interpret,
-                seed=seed,
+                seed=seed, texture_filter=texture_filter,
             )
             if with_stats:
                 g_chan = ((band >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)

@@ -90,6 +90,8 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
     """Map an integrator name or legacy shader path to (integrator, model)."""
     low = name.lower()
     model = "kerr" if "kerr" in low else "schwarzschild"
+    if "kerr_lt" in low or "lense" in low:
+        model = "kerr_lt"
     if "flat" in low:
         model = "flat"
     integrator = "rk4" if "rk4" in low else "euler"
@@ -107,6 +109,8 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         "interpret",
         "seed",
         "packed",
+        "texture_filter",
+        "kernel_knobs",
     ),
 )
 def render_image(
@@ -124,8 +128,16 @@ def render_image(
     interpret: bool,
     seed: int = 2020,
     packed: bool = False,
+    texture_filter: str = "bilinear",
+    kernel_knobs: tuple = None,
 ):
     """Pure jittable frame pipeline.
+
+    `kernel_knobs` = (early_exit_every, unroll, steps_per_check) — the
+    Pallas loop-structure tuning axes (ops/pallas_trace.py build_kernel);
+    None uses the defaults. Results are identical for any early_exit_every/
+    unroll; steps_per_check > 1 trades boundary-pixel-level accuracy for
+    fewer mask evaluations (the autotuner searches all three).
 
     `skybox` is a packed-u32 (Ht, Wt) equirect texture, or None for the
     analytic procedural star field (ops/starfield.py — the gather-free fast
@@ -133,13 +145,17 @@ def render_image(
     `packed=True` (the internal TPU-friendly format; see
     sampling.unpack_frame).
     """
+    from .ops.pallas_trace import DEFAULT_EARLY_EXIT_EVERY
+
+    eee, unroll, spc = kernel_knobs or (DEFAULT_EARLY_EXIT_EVERY, 1, 1)
     if monolithic_eligible(
         config, scene, use_pallas=use_pallas, fast_math=fast_math,
         skybox=skybox, disk_params=disk_params, tonemap=tonemap,
     ):
         # trace + shade fused in one kernel (single packed-u32 output)
         frame = pallas_render_packed(
-            camera, scene, config, seed=seed, tile=tile, interpret=interpret
+            camera, scene, config, seed=seed, tile=tile, interpret=interpret,
+            early_exit_every=eee, unroll=unroll, steps_per_check=spc,
         )
         return frame if packed else unpack_frame(frame)
     if use_pallas:
@@ -151,6 +167,9 @@ def render_image(
             fast_math=fast_math,
             interpret=interpret,
             track_steps=scene.debug_mode != 0,
+            early_exit_every=eee,
+            unroll=unroll,
+            steps_per_check=spc,
         )
     else:
         origins, dirs = generate_rays(
@@ -168,7 +187,9 @@ def render_image(
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
     else:
-        background = functools.partial(sample_equirect_packed, skybox)
+        background = functools.partial(
+            sample_equirect_packed, skybox, filter=texture_filter
+        )
     tm = display_ops.TONEMAPS[tonemap]
     frame = shade_planes_packed(
         result,
@@ -206,6 +227,8 @@ class BlackHoleRenderer:
         dt: float | None = None,
         interpret: bool | None = None,
         skybox_seed: int = 2020,
+        texture_filter: str = "bilinear",
+        kernel_knobs: tuple | None = None,
     ):
         self.context = context or TpuContext.new()
         self.width = int(width)
@@ -224,6 +247,7 @@ class BlackHoleRenderer:
             use_pallas = self.context.platform == "tpu"
         self.use_pallas = bool(use_pallas)
         self.tile = tuple(tile) if tile is not None else pick_tile(self.width)
+        self.kernel_knobs = tuple(kernel_knobs) if kernel_knobs else None
         self.fast_math = bool(fast_math)
         self.tonemap = tonemap
         if interpret is None:
@@ -238,13 +262,29 @@ class BlackHoleRenderer:
         # skybox: None -> analytic procedural star field (gather-free fast
         # path); a path/array -> decode + pack + upload (the analog of
         # load_texture_from_file + queue.write_texture, lib.rs:208-267)
+        if texture_filter not in ("bilinear", "nearest", "fast"):
+            raise ValueError(
+                f"texture_filter must be bilinear/nearest/fast, got {texture_filter!r}"
+            )
+        self.texture_filter = texture_filter
+        # the filter the sampler actually runs with: the "fast" tier bakes
+        # the bilinear weights into a 4x prefiltered texture at load time
+        # (ops/sampling.prefilter_packed_texture) and samples it with ONE
+        # nearest gather per pixel — the gather count, not the texture size,
+        # is the entire sampling cost on TPU
+        self._sample_filter = "nearest" if texture_filter != "bilinear" else "bilinear"
         if skybox is None:
             self.skybox = None
         else:
             tex = load_skybox(skybox)
-            self.skybox = jax.device_put(
+            packed = jax.device_put(
                 pack_texture_rgba8(tex), self.context.device
             )
+            if texture_filter == "fast":
+                from .ops.sampling import prefilter_packed_texture
+
+                packed = jax.jit(prefilter_packed_texture)(packed)
+            self.skybox = packed
         self.skybox_seed = int(skybox_seed)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
         self._last_frame = None
@@ -328,6 +368,8 @@ class BlackHoleRenderer:
             tonemap=self.tonemap,
             interpret=self.interpret,
             seed=self.skybox_seed,
+            texture_filter=self._sample_filter,
+            kernel_knobs=self.kernel_knobs,
         )
         if timestamp_query is not None:
             frame.block_until_ready()

@@ -1,19 +1,31 @@
 """On-device kernel autotuning.
 
 pick_tile() encodes v5e measurements; other TPU generations (or future
-compiler versions) may prefer different tile widths / early-exit cadences.
-The autotuner measures a small candidate grid on the actual device using
-the fused-scan slope protocol (two scan lengths, fresh frame times per
-timed call — the only timing method that survives this environment's
-dispatch overhead and result caching; see docs/DESIGN.md) and caches the
-winner per (device kind, width, height, max_steps, fast_math) in a JSON
-sidecar.
+compiler versions) may prefer different tile widths / loop structures. The
+autotuner measures a candidate grid on the actual device using the
+fused-scan slope protocol (two scan lengths, fresh frame times per timed
+call — the only timing method that survives this environment's dispatch
+overhead and result caching; see docs/DESIGN.md) and caches the winner per
+(device kind, width, height, max_steps, fast_math) in a JSON sidecar.
+
+Search axes (ops/pallas_trace.py build_kernel):
+  tile              — (8, W) kernel tile width
+  early_exit_every  — all-done check cadence (0 = fixed-trip loop)
+  steps_per_check   — turbo sub-steps sharing one mask evaluation
+  unroll            — inner fori_loop unroll factor
+
+The search is staged (tiles first, then loop knobs on the winning tile) to
+keep compile count manageable: ~16 candidates instead of the full product.
 
 Usage:
     from bhr_tpu.utils.autotune import autotune
-    best = autotune(1920, 1080, 500)          # {'tile': [8, 640], ...}
-    renderer = BlackHoleRenderer(1920, 1080, fast_math=True,
-                                 tile=tuple(best["tile"]))
+    best = autotune(1920, 1080, 500)  # {'tile': [8, 640], 'early_exit_every': ..,
+                                      #  'steps_per_check': .., 'unroll': ..}
+    renderer = BlackHoleRenderer(
+        1920, 1080, fast_math=True, tile=tuple(best["tile"]),
+        kernel_knobs=(best["early_exit_every"], best["unroll"],
+                      best["steps_per_check"]),
+    )
 """
 
 from __future__ import annotations
@@ -33,12 +45,41 @@ logger = logging.getLogger("bhr_tpu")
 DEFAULT_CACHE = ".bhr_autotune.json"
 
 
-def _default_candidates(width: int):
+def _normalize(cand: dict) -> dict:
+    return {
+        "tile": list(cand["tile"]),
+        "early_exit_every": cand.get("early_exit_every", DEFAULT_EARLY_EXIT_EVERY),
+        "steps_per_check": cand.get("steps_per_check", 1),
+        "unroll": cand.get("unroll", 1),
+    }
+
+
+def _tile_candidates(width: int):
     tiles = [(8, tw) for tw in (256, 384, 512, 640) if tw <= max(width, 256)]
-    eees = [0, 64]
-    return [
-        {"tile": t, "early_exit_every": e} for t in tiles for e in eees
-    ]
+    return [{"tile": t, "early_exit_every": DEFAULT_EARLY_EXIT_EVERY} for t in tiles]
+
+
+def _knob_candidates(tile, max_steps: int):
+    """Loop-structure variants on a fixed tile."""
+    cands = []
+    for eee in (0, DEFAULT_EARLY_EXIT_EVERY):
+        for spc in (1, 2, 4):
+            if spc > 1 and max_steps % spc:
+                continue
+            if spc > 1 and eee and (eee % spc or max_steps % eee):
+                continue
+            # Mosaic fori_loop only supports unroll=1 or full-trip unroll;
+            # full unroll of a 64-step inner loop explodes code size, so
+            # the unroll axis stays at 1 (kept in the schema for other
+            # backends/generations)
+            for unroll in (1,):
+                cands.append({
+                    "tile": tile,
+                    "early_exit_every": eee,
+                    "steps_per_check": spc,
+                    "unroll": unroll,
+                })
+    return cands
 
 
 def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=True):
@@ -53,6 +94,7 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
     from ..ops.pallas_trace import pallas_render_packed, pallas_trace_image
     from ..ops.trace import TraceConfig
 
+    cand = _normalize(cand)
     scene = SceneParams(
         screen_width=width, screen_height=height, max_steps=max_steps
     )
@@ -65,6 +107,8 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
                 TraceConfig(),
                 tile=tuple(cand["tile"]),
                 early_exit_every=cand["early_exit_every"],
+                steps_per_check=cand["steps_per_check"],
+                unroll=cand["unroll"],
                 interpret=False,
             )
         else:
@@ -74,7 +118,9 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
                 TraceConfig(),
                 tile=tuple(cand["tile"]),
                 early_exit_every=cand["early_exit_every"],
+                unroll=cand["unroll"],
                 fast_math=False,
+                track_steps=False,
                 interpret=False,
             )
             out = res.final_vel.sum()
@@ -97,6 +143,23 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
     return (t2 - t1) / (n2 - n1) * 1000.0
 
 
+def _search(cands, measure, best=None):
+    for cand in cands:
+        try:
+            ms = measure(cand)
+        except Exception as e:  # a candidate failing to compile is not fatal
+            logger.warning("autotune candidate %s failed: %s", cand, e)
+            continue
+        if ms <= 0.0:  # dispatch-noise-corrupted slope: unusable sample
+            logger.warning("autotune candidate %s: noisy slope %.2f, skipped", cand, ms)
+            continue
+        logger.info("autotune %s: %.2f ms/frame", cand, ms)
+        print(f"  autotune {cand}: {ms:.2f} ms/frame", flush=True)
+        if best is None or ms < best["ms_per_frame"]:
+            best = {**_normalize(cand), "ms_per_frame": round(ms, 3)}
+    return best
+
+
 def autotune(
     width: int,
     height: int,
@@ -108,7 +171,7 @@ def autotune(
     force: bool = False,
     measure_fn=_measure_candidate,
 ) -> dict:
-    """Return the best {'tile', 'early_exit_every', 'ms_per_frame'} config.
+    """Return the best tile + loop-knob config for this device and shape.
 
     Off-TPU (CPU/interpret) measurement is meaningless — returns the static
     pick_tile() defaults immediately. Results are cached in `cache_path`.
@@ -124,30 +187,26 @@ def autotune(
     if not force and key in cache:
         return cache[key]
 
-    default = {
-        "tile": list(pick_tile(width)),
-        "early_exit_every": DEFAULT_EARLY_EXIT_EVERY,
-        "ms_per_frame": None,
-    }
+    default = _normalize({"tile": list(pick_tile(width))})
+    default["ms_per_frame"] = None
     if jax.default_backend() != "tpu" and measure_fn is _measure_candidate:
         return default
 
-    best = None
-    for cand in candidates or _default_candidates(width):
-        try:
-            if measure_fn is _measure_candidate:
-                ms = measure_fn(width, height, max_steps, cand, fast_math=fast_math)
-            else:
-                ms = measure_fn(width, height, max_steps, cand)
-        except Exception as e:  # a candidate failing to compile is not fatal
-            logger.warning("autotune candidate %s failed: %s", cand, e)
-            continue
-        if ms <= 0.0:  # dispatch-noise-corrupted slope: unusable sample
-            logger.warning("autotune candidate %s: noisy slope %.2f, skipped", cand, ms)
-            continue
-        logger.info("autotune %s: %.2f ms/frame", cand, ms)
-        if best is None or ms < best["ms_per_frame"]:
-            best = {**cand, "tile": list(cand["tile"]), "ms_per_frame": round(ms, 3)}
+    def measure(cand):
+        if measure_fn is _measure_candidate:
+            return measure_fn(width, height, max_steps, cand, fast_math=fast_math)
+        return measure_fn(width, height, max_steps, cand)
+
+    if candidates is not None:
+        best = _search(candidates, measure)
+    else:
+        # stage 1: tile sweep at default loop structure
+        best = _search(_tile_candidates(width), measure)
+        # stage 2: loop knobs on the winning tile
+        if best is not None:
+            best = _search(
+                _knob_candidates(tuple(best["tile"]), max_steps), measure, best
+            )
     result = best or default
     cache[key] = result
     try:
@@ -156,3 +215,16 @@ def autotune(
     except OSError:
         pass
     return result
+
+
+def load_tuned(width, height, max_steps, fast_math=True, cache_path=DEFAULT_CACHE):
+    """Cached tuning result for this device/shape, or None (never measures)."""
+    try:
+        cache = json.load(open(cache_path))
+    except (OSError, json.JSONDecodeError):
+        return None
+    key = (
+        f"{jax.devices()[0].device_kind}|{width}x{height}|"
+        f"steps={max_steps}|fast={fast_math}"
+    )
+    return cache.get(key)

@@ -167,7 +167,11 @@ def main():
 
     variants["smalltab"] = scanned(smalltab)
 
+    import os
+    only = os.environ.get("BHR_GATHER_ONLY")
     for name, fn in variants.items():
+        if only and name not in only.split(","):
+            continue
         try:
             ms = slope_ms(fn)
             print(json.dumps({"variant": name, "ms_per_pass": round(ms, 2)}), flush=True)

@@ -1,17 +1,26 @@
 #!/usr/bin/env python
-"""BASELINE config 1: 256x256 Schwarzschild, max_steps=200, PNG out —
-CPU-jax oracle render diffed against the Pallas kernel path.
+"""At-scale numerics parity sweep: CPU-jax oracle vs the Pallas kernel path,
+per-pixel, across the BASELINE config suite.
 
 The reference's WGSL render cannot be produced in this environment (no
 GPU/wgpu); the line-faithful XLA oracle (ops/trace.py transcribes
 ray_tracer_euler.wgsl operation-by-operation) stands in as the reference
-numerics, and the TPU kernel is diffed against it per-pixel.
+numerics, and the TPU kernel is diffed against it per pixel at each
+config's REAL resolution.
 
-Usage: python scripts/golden_diff.py [out_dir]
-Prints one JSON line with the per-pixel L_inf (u8 levels) and mismatch
-fraction; writes oracle/kernel PNGs and the abs-diff visualization.
+Usage:
+  python scripts/golden_diff.py [out_dir]            # config 1 only (fast)
+  python scripts/golden_diff.py --all [out_dir]      # all five configs
+  python scripts/golden_diff.py --configs 1,4 [dir]  # subset
+
+Prints one JSON line per config with the per-pixel L_inf (u8 levels) and
+mismatch fraction; config 1 also writes oracle/kernel PNGs and the
+abs-diff visualization. The oracle renders on CPU (exact), the kernel on
+whatever backend is live (TPU under axon); the 4K configs take minutes on
+the CPU oracle side.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -20,50 +29,87 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+# (name, width, height, max_steps, renderer kwargs, scene kwargs)
+CONFIGS = {
+    1: ("256x256_schwarzschild_steps200", 256, 256, 200, {}, {}),
+    2: ("800x600_default_steps500", 800, 600, 500, {}, {}),
+    3: ("1920x1080_steps500_headline", 1920, 1080, 500, {}, {}),
+    4: ("1080p_rk4_adaptive_disk_steps500", 1920, 1080, 500,
+        {"integrator": "rk4", "adaptive": True, "disk": True}, {}),
+    5: ("4k_kerr09_disk_steps2000", 3840, 2160, 2000,
+        {"model": "kerr", "disk": True}, {"spin": 0.9}),
+}
 
-def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "golden_diff_out"
-    os.makedirs(out_dir, exist_ok=True)
+
+def run_config(idx, out_dir, fast_math):
+    import jax.numpy as jnp
 
     from bhr_tpu import BlackHoleRenderer, Camera, SceneParams
 
+    name, w, h, steps, rkw, skw = CONFIGS[idx]
     cam = Camera.new([15.0, 5.0, 0.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
-    scene = SceneParams(screen_width=256, screen_height=256, max_steps=200)
+    skw = {k: jnp.float32(v) for k, v in skw.items()}
+    scene = SceneParams(screen_width=w, screen_height=h, max_steps=steps, **skw)
 
-    oracle = BlackHoleRenderer(256, 256, use_pallas=False)
+    oracle = BlackHoleRenderer(w, h, use_pallas=False, **rkw)
     oracle.render_frame(cam, scene)
-    oracle.save_image(os.path.join(out_dir, "oracle_256.png"))
     a = oracle.get_image_data().astype(np.int32)
 
-    kernel = BlackHoleRenderer(256, 256, use_pallas=True)
+    kernel = BlackHoleRenderer(w, h, use_pallas=True, fast_math=fast_math, **rkw)
     kernel.render_frame(cam, scene)
-    kernel.save_image(os.path.join(out_dir, "kernel_256.png"))
     b = kernel.get_image_data().astype(np.int32)
+
+    if idx == 1 and out_dir:
+        oracle.save_image(os.path.join(out_dir, "oracle_256.png"))
+        kernel.save_image(os.path.join(out_dir, "kernel_256.png"))
 
     diff = np.abs(a - b)[..., :3]
     linf_u8 = int(diff.max())
     mismatch = float((diff.max(axis=-1) > 0).mean())
 
-    from PIL import Image
+    if idx == 1 and out_dir:
+        from PIL import Image
 
-    vis = np.zeros((256, 256, 3), np.uint8)
-    vis[..., 0] = np.clip(diff.max(axis=-1) * 64, 0, 255)
-    Image.fromarray(vis, "RGB").save(os.path.join(out_dir, "absdiff_x64.png"))
+        vis = np.zeros((h, w, 3), np.uint8)
+        vis[..., 0] = np.clip(diff.max(axis=-1) * 64, 0, 255)
+        Image.fromarray(vis, "RGB").save(os.path.join(out_dir, "absdiff_x64.png"))
 
     print(
         json.dumps(
             {
-                "config": "256x256_schwarzschild_steps200",
+                "config": name,
                 "linf_u8_levels": linf_u8,
                 "linf_unit_scale": round(linf_u8 / 255.0, 6),
                 "mismatched_pixel_frac": round(mismatch, 6),
                 "kernel_backend": kernel.device.platform,
+                "kernel_fast_math": bool(fast_math),
                 "note": "oracle = line-faithful XLA transcription of "
                 "ray_tracer_euler.wgsl (the reference GPU render is not "
                 "producible in this environment)",
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir", nargs="?", default="golden_diff_out")
+    p.add_argument("--all", action="store_true", help="run all five configs")
+    p.add_argument("--configs", help="comma-separated config indices (1-5)")
+    p.add_argument("--fast-math", action="store_true",
+                   help="diff the fast-math kernel tier instead of exact")
+    args = p.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.configs:
+        idxs = [int(x) for x in args.configs.split(",")]
+    elif args.all:
+        idxs = [1, 2, 3, 4, 5]
+    else:
+        idxs = [1]
+    for i in idxs:
+        run_config(i, args.out_dir, args.fast_math)
     return 0
 
 

@@ -44,6 +44,7 @@ def main():
         ("rk4", TraceConfig(integrator="rk4"), {}),
         ("adaptive", TraceConfig(adaptive=True), {}),
         ("kerr", TraceConfig(model="kerr"), dict(spin=jnp.float32(0.9))),
+        ("kerr_lt", TraceConfig(model="kerr_lt"), dict(spin=jnp.float32(0.9))),
         ("disk", TraceConfig(disk=True), {}),
         ("kerr+rk4+disk", TraceConfig(model="kerr", integrator="rk4", disk=True),
          dict(spin=jnp.float32(0.9))),
@@ -66,6 +67,57 @@ def main():
                       f"status agreement {agree:.4f} ({time.time()-t0:.0f}s)")
             except Exception as e:
                 check(label, False, str(e)[:120])
+
+    # exact stateless kernel (the BHR_BENCH_FAST=0 perf path: dt-freeze,
+    # IEEE ops, no status scratch) vs the scratch-status exact kernel
+    for cfg, label in ((TraceConfig(), "stateless-exact euler"),
+                       (TraceConfig(integrator="rk4"), "stateless-exact rk4"),
+                       (TraceConfig(adaptive=True), "stateless-exact adaptive")):
+        try:
+            scene = SceneParams(screen_width=96, screen_height=48, max_steps=300)
+            a = pallas_trace_image(cam, scene, cfg, interpret=False)
+            b = pallas_trace_image(cam, scene, cfg, interpret=False,
+                                   fast_math=False, track_steps=False)
+            eq = (np.asarray(a.status) == np.asarray(b.status)).all()
+            m = np.asarray(a.status) != 2
+            veq = (np.asarray(a.final_vel)[m] == np.asarray(b.final_vel)[m]).mean()
+            check(label, bool(eq) and veq >= 0.999,
+                  f"status_eq={bool(eq)} vel_biteq={veq:.5f}")
+        except Exception as e:
+            check(label, False, str(e)[:120])
+
+    # turbo / unroll loop-structure variants (autotuner search space)
+    for eee, unroll, spc in ((0, 1, 1), (0, 1, 2), (60, 1, 2)):
+        label = f"knobs eee={eee} unroll={unroll} spc={spc}"
+        try:
+            scene = SceneParams(screen_width=96, screen_height=48, max_steps=300)
+            frame = pallas_render_packed(
+                cam, scene, TraceConfig(), interpret=False,
+                early_exit_every=eee, unroll=unroll, steps_per_check=spc,
+            )
+            jax.block_until_ready(frame)
+            check(label, np.asarray(frame).any())
+        except Exception as e:
+            check(label, False, str(e)[:120])
+
+    # texture skybox tiers end-to-end through the renderer
+    try:
+        from bhr_tpu import BlackHoleRenderer
+        from bhr_tpu.io.skybox import procedural_starfield
+
+        sky = procedural_starfield(256, 512, seed=3)
+        frames = {}
+        for mode in ("bilinear", "nearest", "fast"):
+            r = BlackHoleRenderer(96, 48, skybox=sky, texture_filter=mode,
+                                  fast_math=True)
+            scene = SceneParams(screen_width=96, screen_height=48, max_steps=300)
+            frames[mode] = np.asarray(r.render_frame(cam, scene)).astype(int)
+        d_near = np.abs(frames["bilinear"] - frames["nearest"])[..., :3].mean()
+        d_fast = np.abs(frames["bilinear"] - frames["fast"])[..., :3].mean()
+        check("texture tiers", d_fast <= d_near + 1.0,
+              f"mean|bilinear-fast|={d_fast:.2f} mean|bilinear-nearest|={d_near:.2f}")
+    except Exception as e:
+        check("texture tiers", False, str(e)[:120])
 
     # monolithic trace+shade kernel
     try:

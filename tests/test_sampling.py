@@ -102,3 +102,92 @@ def test_pack_texture_lossless_roundtrip():
     packed = np.asarray(pack_texture_rgba8(tex))
     r = (packed & 0xFF).astype(np.float32) / 255.0
     np.testing.assert_allclose(r, np.asarray(tex)[..., 0], atol=1e-7)
+
+
+def test_nearest_filter_semantics():
+    """filter='nearest' picks the texel whose cell contains (u, v) —
+    wgpu FilterMode::Nearest with Repeat-U / Clamp-V addressing."""
+    import jax.numpy as jnp
+
+    from bhr_tpu.ops.sampling import pack_texture_rgba8, sample_equirect_packed
+
+    rng = np.random.RandomState(11)
+    tex = (rng.rand(8, 16, 4)).astype(np.float32)
+    tex = np.round(tex * 255.0) / 255.0
+    packed = jnp.asarray(pack_texture_rgba8(tex))
+    # directions on the equator hit v = 0.5 (row 4); u from atan2
+    d = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [-1.0, 0.0, 1e-6]], np.float32)
+    r, g, b = sample_equirect_packed(
+        packed, jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+        filter="nearest",
+    )
+    # u = 0.5 + atan2(dz, dx)/2pi -> 0.5, 0.75, ~1.0; texel x = floor(u*16)
+    for k, x_expect in enumerate((8, 12, 15)):
+        want = tex[4, x_expect, :3]
+        got = np.array([r[k], g[k], b[k]])
+        np.testing.assert_allclose(got, want, atol=1e-6), k
+
+
+def test_prefilter_matches_bilinear_at_phase_centers():
+    """Nearest sampling of the 4x-prefiltered texture equals exact bilinear
+    whenever (fx, fy) falls on a phase center — and is within the 1/8-texel
+    quantization bound everywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    from bhr_tpu.ops.sampling import (
+        pack_texture_rgba8,
+        prefilter_packed_texture,
+        sample_bilinear,
+        sample_equirect_packed,
+    )
+
+    rng = np.random.RandomState(12)
+    tex = np.round(rng.rand(16, 32, 4).astype(np.float32) * 255.0) / 255.0
+    packed = jnp.asarray(pack_texture_rgba8(tex))
+    up = jax.jit(prefilter_packed_texture)(packed)
+    assert up.shape == (64, 128)
+
+    # random directions; compare fast tier vs exact bilinear
+    d = rng.randn(500, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
+    exact = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
+    fast = np.stack(sample_equirect_packed(up, dx, dy, dz, filter="nearest"), -1)
+    # worst case: weights off by <= 1/8 against each texel pair delta,
+    # twice (two axes), plus the u8 re-quantization of the prefiltered texels
+    err = np.abs(exact - fast).max()
+    assert err <= 2 * (1.0 / 8.0) + 2.5 / 255.0, f"fast tier error {err}"
+
+
+def test_prefilter_preserves_constant_texture():
+    import jax.numpy as jnp
+
+    from bhr_tpu.ops.sampling import prefilter_packed_texture
+
+    c = np.full((4, 8, 4), 0.5, np.float32)
+    from bhr_tpu.ops.sampling import pack_texture_rgba8
+
+    packed = jnp.asarray(pack_texture_rgba8(c))
+    up = np.asarray(prefilter_packed_texture(packed))
+    assert (up == np.asarray(packed)[0, 0]).all()
+
+
+def test_renderer_texture_filter_modes(small_skybox):
+    from bhr_tpu import BlackHoleRenderer
+
+    frames = {}
+    for mode in ("bilinear", "nearest", "fast"):
+        r = BlackHoleRenderer(24, 16, skybox=small_skybox, texture_filter=mode)
+        frames[mode] = np.asarray(r.render_frame())
+    assert frames["bilinear"].shape == (16, 24, 4)
+    # tiers approximate each other: captured region identical (black), and
+    # background within the positional-quantization bound
+    diff_fast = np.abs(
+        frames["bilinear"].astype(int) - frames["fast"].astype(int)
+    )[..., :3]
+    assert diff_fast.mean() < 30.0
+    import pytest
+
+    with pytest.raises(ValueError, match="texture_filter"):
+        BlackHoleRenderer(8, 8, skybox=small_skybox, texture_filter="cubic")
