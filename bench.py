@@ -48,6 +48,11 @@ def main():
     fast_math = os.environ.get("BHR_BENCH_FAST", "1") == "1"
     use_pallas = os.environ.get("BHR_BENCH_ORACLE", "0") != "1"
     texture = os.environ.get("BHR_BENCH_TEXTURE", "")
+    model = os.environ.get("BHR_BENCH_MODEL", "schwarzschild")
+    spin = float(os.environ.get("BHR_BENCH_SPIN", "0.9"))
+    disk = os.environ.get("BHR_BENCH_DISK", "0") == "1"
+    integrator = os.environ.get("BHR_BENCH_INTEGRATOR", "euler")
+    adaptive = os.environ.get("BHR_BENCH_ADAPTIVE", "0") == "1"
 
     if os.environ.get("BHR_BENCH_AUTOTUNE") == "1":
         from bhr_tpu.utils.autotune import autotune
@@ -81,10 +86,17 @@ def main():
         texture_filter = texture if texture in ("bilinear", "nearest", "fast") else "fast"
 
     renderer = BlackHoleRenderer(
-        width, height, use_pallas=use_pallas, tile=tile, fast_math=fast_math,
-        kernel_knobs=knobs, skybox=skybox, texture_filter=texture_filter,
+        width, height, integrator, use_pallas=use_pallas, tile=tile,
+        fast_math=fast_math, kernel_knobs=knobs, skybox=skybox,
+        texture_filter=texture_filter, model=model, disk=disk,
+        adaptive=adaptive,
     )
-    scene = SceneParams(screen_width=width, screen_height=height, max_steps=max_steps)
+    import jax.numpy as jnp
+
+    scene = SceneParams(
+        screen_width=width, screen_height=height, max_steps=max_steps,
+        spin=jnp.float32(spin if model.startswith("kerr") else 0.0),
+    )
     anim = OrbitAnimator(renderer)
 
     n_small = max(2, n_frames // 10)
@@ -116,6 +128,14 @@ def main():
     mray_steps = width * height * max_steps / (slope_ms / 1000.0) / 1e6
     target_ms = 16.0
     suffix = f"_tex-{texture_filter}" if texture else ""
+    if model != "schwarzschild":
+        suffix += f"_{model}"
+    if disk:
+        suffix += "_disk"
+    if integrator != "euler":
+        suffix += f"_{integrator}"
+    if adaptive:
+        suffix += "_adaptive"
     print(
         json.dumps(
             {

@@ -227,6 +227,23 @@ def main(argv=None) -> int:
         format="%(levelname)s %(name)s: %(message)s",
     )
 
+    # adopt the on-device autotuner's cached kernel config when one exists
+    # for this shape (bench.py / utils/autotune.py write it)
+    tile = None
+    knobs = None
+    if not args.oracle:
+        from .utils.autotune import load_tuned
+
+        tuned = load_tuned(args.width, args.height, args.max_steps,
+                           fast_math=args.fast_math)
+        if tuned:
+            tile = tuple(tuned["tile"])
+            knobs = (
+                tuned.get("early_exit_every", 64),
+                tuned.get("unroll", 1),
+                tuned.get("steps_per_check", 1),
+            )
+
     renderer = BlackHoleRenderer(
         args.width,
         args.height,
@@ -236,6 +253,8 @@ def main(argv=None) -> int:
         disk=args.disk,
         fast_math=args.fast_math,
         use_pallas=False if args.oracle else None,
+        tile=tile,
+        kernel_knobs=knobs,
     )
     chunk = args.chunk if args.chunk > 0 else DEFAULT_CHUNK
     print(

@@ -624,6 +624,10 @@ def build_kernel(
             if config.model == "flat":
                 nv = vel
             else:
+                # NOTE: replacing the three divisions with one shared
+                # reciprocal + multiplies was measured SLOWER on v5e
+                # (30.2 vs 23.2 ms/frame) — IEEE division throughput is not
+                # the exact tier's bottleneck, so keep the bit-parity form
                 r_vec = (rel[0] / r, rel[1] / r, rel[2] / r)
                 rs_over_r = rs / r
                 one_m = 1.0 - rs_over_r

@@ -63,7 +63,7 @@ def _knob_candidates(tile, max_steps: int):
     """Loop-structure variants on a fixed tile."""
     cands = []
     for eee in (0, DEFAULT_EARLY_EXIT_EVERY):
-        for spc in (1, 2, 4):
+        for spc in (1, 2, 4, 5, 10):
             if spc > 1 and max_steps % spc:
                 continue
             if spc > 1 and eee and (eee % spc or max_steps % eee):
