@@ -60,11 +60,12 @@ def ks_radius(q, rs, spin):
     """The Kerr-Schild radial coordinate r (== |q| when a* = 0)."""
     m = jnp.asarray(rs, jnp.float32) * 0.5
     a = jnp.asarray(spin, jnp.float32) * m
+    a2 = a * a
     x, y, z = _split(q)
     rho2 = x * x + y * y + z * z
-    b = rho2 - a * a
-    r2 = 0.5 * (b + jnp.sqrt(b * b + 4.0 * a * a * y * y))
-    return jnp.sqrt(jnp.maximum(r2, _EPS))
+    b = rho2 - a2
+    disc = jnp.sqrt(b * b + 4.0 * a2 * (y * y))
+    return jnp.sqrt(jnp.maximum(0.5 * (b + disc), _EPS))
 
 
 def aux(q, rs, spin):
@@ -87,35 +88,47 @@ def aux(q, rs, spin):
 
 
 def derivs(q, p, rs, spin):
-    """Hamiltonian right-hand side: (dq/dl, dp/dl) with p_t = -1."""
+    """Hamiltonian right-hand side: (dq/dl, dp/dl) with p_t = -1.
+
+    NOTE: expression trees (groupings, reciprocal-multiplies) are kept
+    IDENTICAL to the Pallas kernel's exact-tier transcription
+    (ops/pallas_trace.py ks_all) — the geodesic flow is chaotic near the
+    shadow boundary, so even algebraically equal regroupings (e.g.
+    (r2+a2)*y vs r2*y + a2*y) amplify their 1-ulp differences into visible
+    per-pixel noise over hundreds of steps. Any change here must be
+    mirrored there (kernel-vs-oracle parity tests will catch drift)."""
     m = jnp.asarray(rs, jnp.float32) * 0.5
     a = jnp.asarray(spin, jnp.float32) * m
+    a2 = a * a
     x, y, z = _split(q)
     px, py, pz = _split(p)
 
     rho2 = x * x + y * y + z * z
-    b = rho2 - a * a
-    r2 = jnp.maximum(0.5 * (b + jnp.sqrt(b * b + 4.0 * a * a * y * y)), _EPS)
+    b = rho2 - a2
+    disc = jnp.sqrt(b * b + 4.0 * a2 * (y * y))
+    r2 = jnp.maximum(0.5 * (b + disc), _EPS)
     r = jnp.sqrt(r2)
-    r3 = r2 * r
-    w = jnp.maximum(r2 * r2 + a * a * y * y, _EPS)
+    y2 = y * y
+    w = r2 * r2 + a2 * y2
     inv_w = 1.0 / w
-    f = 2.0 * m * r3 * inv_w
-    bb = r2 + a * a
+    r3 = r2 * r
+    f = (2.0 * m) * r3 * inv_w
+    bb = r2 + a2
     inv_bb = 1.0 / bb
     lx = (r * x + a * z) * inv_bb
-    ly = y / r
+    inv_r = 1.0 / r
+    ly = y * inv_r
     lz = (r * z - a * x) * inv_bb
 
     # dr/dq_i = r (r^2 q_i + a^2 y delta_iy) / W
     r_w = r * inv_w
     drx = r_w * r2 * x
-    dry = r_w * (r2 * y + a * a * y)
+    dry = r_w * bb * y  # r2 y + a2 y = (r2 + a2) y
     drz = r_w * r2 * z
 
     # df/dq_i = 2M [(3 r^2 W - 4 r^6) dr_i - 2 a^2 y r^3 delta_iy] / W^2
-    g1 = 2.0 * m * (3.0 * r2 * w - 4.0 * r3 * r3) * inv_w * inv_w
-    g2 = 2.0 * m * 2.0 * a * a * r3 * inv_w * inv_w
+    g1 = (2.0 * m) * (3.0 * r2 * w - 4.0 * r3 * r3) * (inv_w * inv_w)
+    g2 = (4.0 * m) * a2 * r3 * (inv_w * inv_w)
     dfx = g1 * drx
     dfy = g1 * dry - g2 * y
     dfz = g1 * drz
@@ -123,20 +136,19 @@ def derivs(q, p, rs, spin):
     # dl_j/dq_i (3x3). Common terms:
     # lx = (r x + a z)/B, ly = y/r, lz = (r z - a x)/B, B = r^2 + a^2
     two_r_invbb = 2.0 * r * inv_bb
-    inv_r = 1.0 / r
     inv_r2 = inv_r * inv_r
     # d lx / d(x,y,z)
-    dlx_x = (x * drx + r) * inv_bb - lx * two_r_invbb * drx
-    dlx_y = (x * dry) * inv_bb - lx * two_r_invbb * dry
-    dlx_z = (x * drz + a) * inv_bb - lx * two_r_invbb * drz
+    dlx_x = (x * drx + r) * inv_bb - lx * (two_r_invbb * drx)
+    dlx_y = (x * dry) * inv_bb - lx * (two_r_invbb * dry)
+    dlx_z = (x * drz + a) * inv_bb - lx * (two_r_invbb * drz)
     # d ly / d(x,y,z)   (ly = y / r)
     dly_x = -y * inv_r2 * drx
     dly_y = inv_r - y * inv_r2 * dry
     dly_z = -y * inv_r2 * drz
     # d lz / d(x,y,z)
-    dlz_x = (z * drx - a) * inv_bb - lz * two_r_invbb * drx
-    dlz_y = (z * dry) * inv_bb - lz * two_r_invbb * dry
-    dlz_z = (z * drz + r) * inv_bb - lz * two_r_invbb * drz
+    dlz_x = (z * drx - a) * inv_bb - lz * (two_r_invbb * drx)
+    dlz_y = (z * dry) * inv_bb - lz * (two_r_invbb * dry)
+    dlz_z = (z * drz + r) * inv_bb - lz * (two_r_invbb * drz)
 
     s = 1.0 + lx * px + ly * py + lz * pz  # l^u p_u with p_t = -1
     fs = f * s
@@ -145,10 +157,10 @@ def derivs(q, p, rs, spin):
     dqy = py - fs * ly
     dqz = pz - fs * lz
 
-    half_s2 = 0.5 * s * s
-    dpx = half_s2 * dfx + fs * (dlx_x * px + dly_x * py + dlz_x * pz)
-    dpy = half_s2 * dfy + fs * (dlx_y * px + dly_y * py + dlz_y * pz)
-    dpz = half_s2 * dfz + fs * (dlx_z * px + dly_z * py + dlz_z * pz)
+    hs2 = 0.5 * s * s
+    dpx = hs2 * dfx + fs * (dlx_x * px + dly_x * py + dlz_x * pz)
+    dpy = hs2 * dfy + fs * (dlx_y * px + dly_y * py + dlz_y * pz)
+    dpz = hs2 * dfz + fs * (dlx_z * px + dly_z * py + dlz_z * pz)
 
     dq = jnp.stack([dqx, dqy, dqz], axis=-1)
     dp = jnp.stack([dpx, dpy, dpz], axis=-1)
@@ -166,15 +178,34 @@ def init_momentum(q, d, rs, spin):
     """Null covariant momentum for a photon at q with coordinate direction d.
 
     Solves g_{uv} u^u u^v = 0 for the future-directed u^t with u_vec = d
-    (unit), lowers the index, and rescales so E = -p_t = 1."""
-    _, f, l = aux(q, rs, spin)
-    c = jnp.sum(l * d, axis=-1)
+    (unit), lowers the index, and rescales so E = -p_t = 1.
+
+    Expression trees mirror the kernel's ks_init_p exactly (see derivs)."""
+    m = jnp.asarray(rs, jnp.float32) * 0.5
+    a = jnp.asarray(spin, jnp.float32) * m
+    a2 = a * a
+    x, y, z = _split(q)
+    dx, dy, dz = _split(d)
+    rho2 = x * x + y * y + z * z
+    b = rho2 - a2
+    r2 = jnp.maximum(0.5 * (b + jnp.sqrt(b * b + 4.0 * a2 * y * y)), _EPS)
+    r = jnp.sqrt(r2)
+    w = r2 * r2 + a2 * y * y
+    f = jnp.asarray(rs, jnp.float32) * r2 * r / w  # 2M = rs
+    bb = r2 + a2
+    lx = (r * x + a * z) / bb
+    ly = y / r
+    lz = (r * z - a * x) / bb
+    c = lx * dx + ly * dy + lz * dz
     disc = jnp.sqrt(jnp.maximum(1.0 - f * (1.0 - c * c), _EPS))
     ut = (f * c + disc) / jnp.maximum(1.0 - f, 1e-6)
     big_l = ut + c  # l_u u^u
-    p = d + (f * big_l)[..., None] * l
-    e = ut - f * big_l  # E = -p_t = u^t - f l_t (l.u)
-    return p / jnp.maximum(e, _EPS)[..., None]
+    fl = f * big_l
+    e_inv = 1.0 / jnp.maximum(ut - fl, _EPS)  # E = -p_t = u^t - f (l.u)
+    return jnp.stack(
+        [(dx + fl * lx) * e_inv, (dy + fl * ly) * e_inv, (dz + fl * lz) * e_inv],
+        axis=-1,
+    )
 
 
 def final_direction(q, p, rs, spin):

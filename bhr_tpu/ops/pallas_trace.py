@@ -816,13 +816,22 @@ def build_kernel(
         _, relx, rely, relz, velx, vely, velz = carry
         rel = (relx, rely, relz)
         vel = (velx, vely, velz)
+        disk_thresh = 1.5 * escape_r_param  # sentinel y = 2.5 * escape_r
         if is_ks:
             r2cap, r2 = ks_r2(rel, a_spin * a_spin)
+            if config.disk:
+                # disk hits sit at the y-sentinel, but the shading direction
+                # dq/dl = p - f S l must be evaluated with the metric at the
+                # REAL hit point (y = 0) — at the sentinel f is ~0 and the
+                # Doppler g-factor would use the raw momentum instead
+                is_disk_m = (rel[1] > disk_thresh).astype(jnp.float32)
+                dir_rel = (rel[0], rel[1] * (1.0 - is_disk_m), rel[2])
+            else:
+                dir_rel = rel
             # p (frozen at termination) -> coordinate direction for shading
-            vel = ks_direction(rel, vel, rs, a_spin)
+            vel = ks_direction(dir_rel, vel, rs, a_spin)
         else:
             r2cap = r2 = _vdot(rel, rel)
-        disk_thresh = 1.5 * escape_r_param  # sentinel y = 2.5 * escape_r
         return rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh
 
     def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):

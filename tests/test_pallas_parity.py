@@ -325,3 +325,23 @@ def test_stateless_exact_rk4_matches_scratch():
     np.testing.assert_array_equal(
         np.asarray(scratch.final_vel)[m], np.asarray(sl.final_vel)[m]
     )
+
+
+def test_kerr_disk_direction_evaluated_at_hit_point():
+    """Regression: the stateless KS kernel must evaluate the disk-hit
+    shading direction with the metric at the REAL hit point, not the
+    y-sentinel (where f ~ 0 turns dq/dl into the raw momentum and the disk
+    Doppler shading diverges everywhere)."""
+    cam = Camera.new([15.0, 5.0, 0.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(screen_width=96, screen_height=54, max_steps=300,
+                        spin=jnp.float32(0.9))
+    cfg = TraceConfig(model="kerr", disk=True)
+    scratch = pallas_trace_image(cam, scene, cfg, interpret=True)
+    sl = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=False, track_steps=False
+    )
+    so, ss = np.asarray(scratch.status), np.asarray(sl.status)
+    m = (so == ss) & (so == 3)
+    assert m.sum() > 500  # the scene hits the disk broadly
+    vd = np.abs(np.asarray(scratch.final_vel)[m] - np.asarray(sl.final_vel)[m])
+    assert vd.max() < 1e-4, f"disk-hit directions diverge: {vd.max()}"
