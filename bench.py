@@ -70,6 +70,7 @@ def main():
                 tuned.get("early_exit_every", 64),
                 tuned.get("unroll", 1),
                 tuned.get("steps_per_check", 1),
+                int(tuned.get("linear", False)),
             )
 
     from bhr_tpu import BlackHoleRenderer, SceneParams

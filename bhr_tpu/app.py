@@ -242,6 +242,7 @@ def main(argv=None) -> int:
                 tuned.get("early_exit_every", 64),
                 tuned.get("unroll", 1),
                 tuned.get("steps_per_check", 1),
+                int(tuned.get("linear", False)),
             )
 
     renderer = BlackHoleRenderer(

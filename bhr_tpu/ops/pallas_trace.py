@@ -172,6 +172,7 @@ def build_kernel(
     steps_per_check: int = 1,
     shade_inline: bool = False,
     shade_seed: int = 2020,
+    linear: bool = False,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -180,6 +181,13 @@ def build_kernel(
     N = every N steps (amortizes the cross-lane reduction + scalar sync
     the check costs), 0 = never (pure fixed-trip loop). Masked updates keep
     results identical for every setting.
+
+    `linear` (stateless flavors only): the grid runs over FLAT pixel ids
+    instead of (row, col) tiles, and ray-gen decodes y = id div W,
+    x = id mod W in-kernel (exact integer arithmetic in fp32 — all values
+    < 2^24). Kills tile-padding waste for widths that don't divide by the
+    tile width (e.g. 28% at 800 wide with (8, 512) tiles -> 0.7%); decoded
+    (y, x) are bit-identical to the 2-D iotas, so results don't change.
     """
     th, tw = tile
     # turbo sub-stepping only applies to the stateless kernel with
@@ -540,10 +548,31 @@ def build_kernel(
         row0 = params[_P_ROW0].astype(jnp.int32)
         col0 = params[_P_COL0].astype(jnp.int32)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + gi * th + row0
-        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + gj * tw + col0
-        u = (cols.astype(jnp.float32) / wf - 0.5) * 2.0 * aspect
-        v = (rows.astype(jnp.float32) / hf - 0.5) * -2.0
+        if linear:
+            # flat pixel-id decode: id = (local y) * W + x. Integer-exact in
+            # fp32 for id < 2^24 (a 4K frame is 8.3M pixels); the divide is
+            # a reciprocal estimate corrected by one exact remainder step.
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+            pid = ((gi * th + ridx) * tw + cidx).astype(jnp.float32)
+            yl = jnp.floor(pid * (1.0 / wf))
+            xl = pid - yl * wf
+            # correct the +-1 the reciprocal estimate can be off by
+            neg = (xl < 0.0).astype(jnp.float32)
+            yl = yl - neg
+            xl = xl + neg * wf
+            ovr = (xl >= wf).astype(jnp.float32)
+            yl = yl + ovr
+            xl = xl - ovr * wf
+            rows_f = yl + row0.astype(jnp.float32)
+            cols_f = xl + col0.astype(jnp.float32)
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + gi * th + row0
+            cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + gj * tw + col0
+            rows_f = rows.astype(jnp.float32)
+            cols_f = cols.astype(jnp.float32)
+        u = (cols_f / wf - 0.5) * 2.0 * aspect
+        v = (rows_f / hf - 0.5) * -2.0
         uf = u * fov_factor
         vf = v * fov_factor
         d = (
@@ -1265,7 +1294,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll", "steps_per_check"),
+    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll", "steps_per_check", "linear"),
 )
 def _pallas_trace(
     params,
@@ -1281,15 +1310,24 @@ def _pallas_trace(
     track_steps: bool = True,
     unroll: int = 1,
     steps_per_check: int = 1,
+    linear: bool = False,
 ):
     th, tw = tile
-    hp = _round_up(height, th)
-    wp = _round_up(width, tw)
-    grid = (hp // th, wp // tw)
+    stateless = not track_steps and (fast_math or config.model != "kerr_lt")
+    linear = linear and stateless  # flat-id ray-gen lives in the stateless flavor
     kernel, needs_scratch = build_kernel(
         config, max_steps, tile, fast_math, early_exit_every, track_steps,
-        unroll, steps_per_check,
+        unroll, steps_per_check, linear=linear,
     )
+    if linear:
+        n_pix = height * width
+        n_tiles = -(-n_pix // (th * tw))
+        hp, wp = n_tiles * th, tw
+        grid = (n_tiles, 1)
+    else:
+        hp = _round_up(height, th)
+        wp = _round_up(width, tw)
+        grid = (hp // th, wp // tw)
     f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     i32 = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
     block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -1310,9 +1348,13 @@ def _pallas_trace(
         cost_estimate=cost,
         interpret=interpret,
     )(params)
-    posx, posy, posz, velx, vely, velz, status, steps = [
-        o[:height, :width] for o in outs
-    ]
+    if linear:
+        outs = [o.reshape(-1)[: height * width].reshape(height, width) for o in outs]
+        posx, posy, posz, velx, vely, velz, status, steps = outs
+    else:
+        posx, posy, posz, velx, vely, velz, status, steps = [
+            o[:height, :width] for o in outs
+        ]
     final_pos = jnp.stack([posx, posy, posz], axis=-1)
     final_vel = jnp.stack([velx, vely, velz], axis=-1)
     return TraceResult(
@@ -1324,7 +1366,7 @@ def _pallas_trace(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "config", "tile", "early_exit_every",
-        "unroll", "steps_per_check", "seed", "interpret",
+        "unroll", "steps_per_check", "seed", "interpret", "linear",
     ),
 )
 def _pallas_render_mono(
@@ -1340,15 +1382,23 @@ def _pallas_render_mono(
     steps_per_check: int,
     seed: int,
     interpret: bool,
+    linear: bool = False,
 ):
     th, tw = tile
-    hp = _round_up(height, th)
-    wp = _round_up(width, tw)
-    grid = (hp // th, wp // tw)
     kernel, _ = build_kernel(
         config, max_steps, tile, True, early_exit_every, False,
         unroll, steps_per_check, shade_inline=True, shade_seed=seed,
+        linear=linear,
     )
+    if linear:
+        n_pix = height * width
+        n_tiles = -(-n_pix // (th * tw))
+        hp, wp = n_tiles * th, tw
+        grid = (n_tiles, 1)
+    else:
+        hp = _round_up(height, th)
+        wp = _round_up(width, tw)
+        grid = (hp // th, wp // tw)
     block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=hp * wp * max_steps * 40,
@@ -1364,6 +1414,8 @@ def _pallas_render_mono(
         cost_estimate=cost,
         interpret=interpret,
     )(params)
+    if linear:
+        return out.reshape(-1)[: height * width].reshape(height, width)
     return out[:height, :width]
 
 
@@ -1381,6 +1433,7 @@ def pallas_render_packed(
     row0=0,
     col0=0,
     local_shape: tuple[int, int] | None = None,
+    linear: bool | None = None,
 ):
     """Monolithic fast path: trace + analytic shading fused in one Pallas
     kernel -> packed u32 (H, W) frame. Requires the stateless-kernel
@@ -1392,6 +1445,9 @@ def pallas_render_packed(
     height, width = local_shape or (scene.screen_height, scene.screen_width)
     if tile is None:
         tile = pick_tile(width)
+    # linear (flat-id) ray-gen is opt-in: it changes the compiled program,
+    # which shifts ray-gen by ulps — the autotuner enables it where the
+    # padding win pays (width not divisible by the tile width)
     params = build_params(camera, scene, config, row0=row0, col0=col0)
     return _pallas_render_mono(
         params,
@@ -1405,6 +1461,7 @@ def pallas_render_packed(
         steps_per_check=steps_per_check,
         seed=seed,
         interpret=interpret,
+        linear=bool(linear),
     )
 
 
@@ -1423,6 +1480,7 @@ def pallas_trace_image(
     track_steps: bool = True,
     unroll: int = 1,
     steps_per_check: int = 1,
+    linear: bool | None = None,
 ) -> TraceResult:
     """Trace every pixel of the scene's image with the Pallas kernel.
 
@@ -1450,4 +1508,5 @@ def pallas_trace_image(
         track_steps=track_steps,
         unroll=unroll,
         steps_per_check=steps_per_check,
+        linear=bool(linear),
     )

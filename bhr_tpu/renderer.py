@@ -147,7 +147,9 @@ def render_image(
     """
     from .ops.pallas_trace import DEFAULT_EARLY_EXIT_EVERY
 
-    eee, unroll, spc = kernel_knobs or (DEFAULT_EARLY_EXIT_EVERY, 1, 1)
+    knobs = tuple(kernel_knobs) if kernel_knobs else (DEFAULT_EARLY_EXIT_EVERY, 1, 1)
+    eee, unroll, spc = knobs[:3]
+    linear = bool(knobs[3]) if len(knobs) > 3 else False
     if monolithic_eligible(
         config, scene, use_pallas=use_pallas, fast_math=fast_math,
         skybox=skybox, disk_params=disk_params, tonemap=tonemap,
@@ -156,6 +158,7 @@ def render_image(
         frame = pallas_render_packed(
             camera, scene, config, seed=seed, tile=tile, interpret=interpret,
             early_exit_every=eee, unroll=unroll, steps_per_check=spc,
+            linear=linear,
         )
         return frame if packed else unpack_frame(frame)
     if use_pallas:
@@ -170,6 +173,7 @@ def render_image(
             early_exit_every=eee,
             unroll=unroll,
             steps_per_check=spc,
+            linear=linear,
         )
     else:
         origins, dirs = generate_rays(

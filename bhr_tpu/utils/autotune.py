@@ -51,6 +51,7 @@ def _normalize(cand: dict) -> dict:
         "early_exit_every": cand.get("early_exit_every", DEFAULT_EARLY_EXIT_EVERY),
         "steps_per_check": cand.get("steps_per_check", 1),
         "unroll": cand.get("unroll", 1),
+        "linear": bool(cand.get("linear", False)),
     }
 
 
@@ -59,9 +60,11 @@ def _tile_candidates(width: int):
     return [{"tile": t, "early_exit_every": DEFAULT_EARLY_EXIT_EVERY} for t in tiles]
 
 
-def _knob_candidates(tile, max_steps: int):
+def _knob_candidates(tile, max_steps: int, width: int = 0):
     """Loop-structure variants on a fixed tile."""
     cands = []
+    # flat-id ray-gen pays when 2-D tiling pads the width
+    linears = (False, True) if width % tile[1] else (False,)
     for eee in (0, DEFAULT_EARLY_EXIT_EVERY):
         for spc in (1, 2, 4, 5, 10):
             if spc > 1 and max_steps % spc:
@@ -73,12 +76,14 @@ def _knob_candidates(tile, max_steps: int):
             # the unroll axis stays at 1 (kept in the schema for other
             # backends/generations)
             for unroll in (1,):
-                cands.append({
-                    "tile": tile,
-                    "early_exit_every": eee,
-                    "steps_per_check": spc,
-                    "unroll": unroll,
-                })
+                for linear in linears:
+                    cands.append({
+                        "tile": tile,
+                        "early_exit_every": eee,
+                        "steps_per_check": spc,
+                        "unroll": unroll,
+                        "linear": linear,
+                    })
     return cands
 
 
@@ -109,6 +114,7 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
                 early_exit_every=cand["early_exit_every"],
                 steps_per_check=cand["steps_per_check"],
                 unroll=cand["unroll"],
+                linear=cand["linear"],
                 interpret=False,
             )
         else:
@@ -205,7 +211,8 @@ def autotune(
         # stage 2: loop knobs on the winning tile
         if best is not None:
             best = _search(
-                _knob_candidates(tuple(best["tile"]), max_steps), measure, best
+                _knob_candidates(tuple(best["tile"]), max_steps, width),
+                measure, best,
             )
     result = best or default
     cache[key] = result

@@ -345,3 +345,36 @@ def test_kerr_disk_direction_evaluated_at_hit_point():
     assert m.sum() > 500  # the scene hits the disk broadly
     vd = np.abs(np.asarray(scratch.final_vel)[m] - np.asarray(sl.final_vel)[m])
     assert vd.max() < 1e-4, f"disk-hit directions diverge: {vd.max()}"
+
+
+def test_linear_raygen_matches_tiled():
+    """Flat-pixel-id ray-gen (the padding-free grid for widths that don't
+    divide by the tile) must decode exactly the same (y, x) per pixel:
+    statuses identical, directions within cross-program ulp noise."""
+    cam = Camera.default()
+    for (w, h) in ((48, 32), (130, 9), (200, 60)):
+        scene = SceneParams(screen_width=w, screen_height=h, max_steps=80)
+        a = pallas_trace_image(
+            cam, scene, TraceConfig(), interpret=True, track_steps=False,
+            tile=(8, 128), linear=False,
+        )
+        b = pallas_trace_image(
+            cam, scene, TraceConfig(), interpret=True, track_steps=False,
+            tile=(8, 128), linear=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+        m = np.asarray(a.status) != 2
+        np.testing.assert_allclose(
+            np.asarray(a.final_vel)[m], np.asarray(b.final_vel)[m], atol=2e-5
+        )
+
+
+def test_linear_raygen_monolithic_shape():
+    from bhr_tpu.ops.pallas_trace import pallas_render_packed
+
+    cam = Camera.default()
+    scene = SceneParams(screen_width=75, screen_height=33, max_steps=40)
+    frame = pallas_render_packed(
+        cam, scene, TraceConfig(), interpret=True, tile=(8, 128), linear=True
+    )
+    assert frame.shape == (33, 75)
