@@ -70,6 +70,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames fused per on-device scan dispatch "
                         f"(0 = default {DEFAULT_CHUNK}; 1 = per-frame dispatch, "
                         "wall-clock camera, reference-style loop)")
+    p.add_argument("--skybox", metavar="PATH",
+                   help="equirect skybox image (.exr incl. PIZ / .png / .jpg); "
+                        "default: the analytic procedural star field — the "
+                        "reference hardcodes assets/starmap_2020_4k.exr "
+                        "(lib.rs:406-411), which is not distributed")
+    p.add_argument("--texture-filter", default="nearest",
+                   choices=["bilinear", "nearest", "fast"],
+                   help="skybox sampling tier (only with --skybox): nearest = "
+                        "1 gather/pixel (real-time), bilinear = exact 4-gather, "
+                        "fast = prefiltered quarter-weight bilinear")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--fast-math", action=argparse.BooleanOptionalAction, default=True,
                    help="approximate rsqrt/reciprocal in the hot loop — matches "
@@ -256,6 +266,8 @@ def main(argv=None) -> int:
         use_pallas=False if args.oracle else None,
         tile=tile,
         kernel_knobs=knobs,
+        skybox=args.skybox,
+        texture_filter=args.texture_filter,
     )
     chunk = args.chunk if args.chunk > 0 else DEFAULT_CHUNK
     print(

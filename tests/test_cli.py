@@ -126,3 +126,22 @@ def test_app_per_frame_loop_still_works(tmp_path, monkeypatch):
     )
     assert rc == 0
     assert len(os.listdir(out)) == 2
+
+
+def test_app_skybox_flag(tmp_path, monkeypatch):
+    """--skybox renders against a user texture through the app loop."""
+    import numpy as np
+    from PIL import Image
+
+    monkeypatch.chdir(tmp_path)
+    sky = (np.random.RandomState(5).rand(16, 32, 3) * 255).astype("uint8")
+    sky_path = str(tmp_path / "sky.png")
+    Image.fromarray(sky, "RGB").save(sky_path)
+    out = str(tmp_path / "tex")
+    rc = main(
+        ["--frames", "1", "--width", "24", "--height", "16", "--max-steps", "10",
+         "--skybox", sky_path, "--texture-filter", "bilinear", "--out", out,
+         "--oracle"]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "frame_00000.png"))
