@@ -66,12 +66,9 @@ def main():
         if tile is None:
             tile = tuple(tuned["tile"])
         if knobs is None:
-            knobs = (
-                tuned.get("early_exit_every", 64),
-                tuned.get("unroll", 1),
-                tuned.get("steps_per_check", 1),
-                int(tuned.get("linear", False)),
-            )
+            from bhr_tpu.utils.autotune import tuned_knobs
+
+            knobs = tuned_knobs(tuned)
 
     from bhr_tpu import BlackHoleRenderer, SceneParams
     from bhr_tpu.animation import OrbitAnimator

@@ -128,7 +128,10 @@ def _chunked_loop(args, renderer, scene, stats, logger, chunk) -> int:
         jax.block_until_ready(frames)
         return frames
 
-    warm = render_chunk(0)  # compile + warm the device path outside the timed loop
+    # compile + warm outside the timed loop; negative start_frame so the
+    # first REAL chunk (start 0) has fresh content — remote executors cache
+    # repeated identical-content dispatches (CLAUDE.md gotchas)
+    warm = render_chunk(-chunk)
     # Initialize the device->host channel BEFORE calibrating: on tunneled
     # devices block_until_ready is only honest once the transfer channel
     # exists (first device_get pays the one-time channel setup).
@@ -247,13 +250,10 @@ def main(argv=None) -> int:
         tuned = load_tuned(args.width, args.height, args.max_steps,
                            fast_math=args.fast_math)
         if tuned:
+            from .utils.autotune import tuned_knobs
+
             tile = tuple(tuned["tile"])
-            knobs = (
-                tuned.get("early_exit_every", 64),
-                tuned.get("unroll", 1),
-                tuned.get("steps_per_check", 1),
-                int(tuned.get("linear", False)),
-            )
+            knobs = tuned_knobs(tuned)
 
     renderer = BlackHoleRenderer(
         args.width,
@@ -285,7 +285,7 @@ def main(argv=None) -> int:
 
     scene = SceneParams(
         schwarzschild_radius=2.0,
-        spin=args.spin if args.model == "kerr" else 0.0,
+        spin=args.spin if args.model.startswith("kerr") else 0.0,
         screen_width=args.width,
         screen_height=args.height,
         max_steps=args.max_steps,

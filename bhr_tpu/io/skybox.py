@@ -234,12 +234,16 @@ def load_exr_image(path: str):
     return width, height, rgba8
 
 
-def write_exr(path: str, hdr: np.ndarray) -> None:
-    """Write an uncompressed fp32 scanline EXR (for tests and asset export)."""
+def write_exr(path: str, hdr: np.ndarray, channels=None) -> None:
+    """Write an uncompressed fp32 scanline EXR (for tests and asset export).
+
+    `channels` overrides the channel names (e.g. ("Y",) for grayscale)."""
     hdr = np.asarray(hdr, np.float32)
+    if hdr.ndim == 2:
+        hdr = hdr[..., None]
     height, width = hdr.shape[:2]
-    nch = hdr.shape[2] if hdr.ndim == 3 else 1
-    names = ["R", "G", "B", "A"][:nch]
+    nch = hdr.shape[2]
+    names = list(channels) if channels else ["R", "G", "B", "A"][:nch]
     file_order = sorted(names)  # EXR requires alphabetical channel order
 
     def attr(name, typ, payload):

@@ -463,7 +463,8 @@ def build_kernel(
         — the reference shader's update order carried to Hamiltonian form."""
         _, dp, _, _, f, l = ks_all(q, p, rs, a)
         p2 = _vaxpy(p, dp, dt_eff)
-        s2 = 1.0 + _vdot(l, p2)
+        # association mirrors ks_all/the oracle's derivs: ((1+lx px)+ly py)+lz pz
+        s2 = 1.0 + l[0] * p2[0] + l[1] * p2[1] + l[2] * p2[2]
         fs2 = f * s2
         dq2 = (p2[0] - fs2 * l[0], p2[1] - fs2 * l[1], p2[2] - fs2 * l[2])
         q2 = _vaxpy(q, dq2, dt_eff)
@@ -482,10 +483,11 @@ def build_kernel(
         sixth = dt_eff * (1.0 / 6.0)
 
         def comb(k1, k2, k3, k4):
+            # association mirrors the oracle's step_rk4: k1 + 2k2 + 2k3 + k4
             return (
-                k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0],
-                k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1],
-                k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2],
+                k1[0] + 2.0 * k2[0] + 2.0 * k3[0] + k4[0],
+                k1[1] + 2.0 * k2[1] + 2.0 * k3[1] + k4[1],
+                k1[2] + 2.0 * k2[2] + 2.0 * k3[2] + k4[2],
             )
 
         return _vaxpy(q, comb(k1q, k2q, k3q, k4q), sixth), _vaxpy(
@@ -740,9 +742,15 @@ def build_kernel(
                 # escape on coordinate distance, capture on the KS radial
                 # coordinate (the horizon lives at r_+ in KS r)
                 r2cap, r2 = ks_r2(rel, a_spin * a_spin)
-                stepping = (r2 <= esc2) & (r2cap >= cap2)
+                if fast_math:
+                    stepping = (r2 <= esc2) & (r2cap >= cap2)
+                    r_exact = None
+                else:
+                    # exact tier mirrors the oracle's sqrt'd-radius compares
+                    rho = jnp.sqrt(r2)
+                    r_exact = jnp.sqrt(r2cap)
+                    stepping = (rho <= escape_r_param) & (r_exact >= params[_P_CAP])
                 m = stepping.astype(jnp.float32)
-                r_exact = None
             elif fast_math:
                 r2cap = r2 = _vdot(rel, rel)
                 # in-bounds == still integrating; frozen rays stay out of bounds
@@ -818,7 +826,12 @@ def build_kernel(
                 rel = (carry[1], carry[2], carry[3])
                 if is_ks:
                     r2cap, r2 = ks_r2(rel, a_spin * a_spin)
-                    live = (r2 <= esc2) & (r2cap >= cap2)
+                    if fast_math:
+                        live = (r2 <= esc2) & (r2cap >= cap2)
+                    else:
+                        live = (jnp.sqrt(r2) <= escape_r_param) & (
+                            jnp.sqrt(r2cap) >= params[_P_CAP]
+                        )
                 elif fast_math:
                     r2 = _vdot(rel, rel)
                     live = (r2 <= esc2) & (r2 >= cap2)
@@ -1315,6 +1328,8 @@ def _pallas_trace(
     th, tw = tile
     stateless = not track_steps and (fast_math or config.model != "kerr_lt")
     linear = linear and stateless  # flat-id ray-gen lives in the stateless flavor
+    if height * width >= (1 << 24):
+        linear = False  # the fp32 pixel-id decode is only exact below 2^24
     kernel, needs_scratch = build_kernel(
         config, max_steps, tile, fast_math, early_exit_every, track_steps,
         unroll, steps_per_check, linear=linear,
@@ -1385,6 +1400,8 @@ def _pallas_render_mono(
     linear: bool = False,
 ):
     th, tw = tile
+    if height * width >= (1 << 24):
+        linear = False  # the fp32 pixel-id decode is only exact below 2^24
     kernel, _ = build_kernel(
         config, max_steps, tile, True, early_exit_every, False,
         unroll, steps_per_check, shade_inline=True, shade_seed=seed,

@@ -336,8 +336,11 @@ class BlackHoleRenderer:
         if (
             self.config.disk
             and self.use_pallas
-            and self.fast_math
             and scene.debug_mode == 0
+            # every config that selects the stateless (y-sentinel) disk
+            # kernel: both math tiers, except kerr_lt exact which falls
+            # back to the scratch-status kernel
+            and (self.fast_math or self.config.model != "kerr_lt")
         ):
             # the stateless fast kernel encodes disk hits as a y-position
             # sentinel outside the escape sphere; a camera placed outside

@@ -125,6 +125,7 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
                 tile=tuple(cand["tile"]),
                 early_exit_every=cand["early_exit_every"],
                 unroll=cand["unroll"],
+                linear=cand["linear"],
                 fast_math=False,
                 track_steps=False,
                 interpret=False,
@@ -222,6 +223,16 @@ def autotune(
     except OSError:
         pass
     return result
+
+
+def tuned_knobs(tuned: dict) -> tuple:
+    """Cache entry -> the renderer's kernel_knobs tuple
+    (early_exit_every, unroll, steps_per_check, linear)."""
+    n = _normalize({"tile": tuned.get("tile", [8, 640]), **tuned})
+    return (
+        n["early_exit_every"], n["unroll"], n["steps_per_check"],
+        int(n["linear"]),
+    )
 
 
 def load_tuned(width, height, max_steps, fast_math=True, cache_path=DEFAULT_CACHE):

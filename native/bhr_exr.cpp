@@ -23,7 +23,7 @@
 #include <thread>
 #include <string>
 
-#if defined(__has_include)
+#if defined(__has_include) && !defined(BHR_NO_OPENEXR)
 #if __has_include(<OpenEXR/ImfInputFile.h>)
 #define BHR_HAS_OPENEXR 1
 #include <OpenEXR/ImfChannelList.h>
@@ -109,18 +109,27 @@ extern "C" int bhr_exr_read(const char* path, float* out) {
     const size_t xs = 4 * sizeof(float);
     const size_t ys = xs * static_cast<size_t>(w);
     const char* names[4] = {"R", "G", "B", "A"};
+    const bool gray = !has_rgb && has_y;
     for (int c = 0; c < 4; ++c) {
       const char* ch = names[c];
       if (!cl.findChannel(ch)) {
-        if (c < 3 && !has_rgb && has_y)
-          ch = "Y";  // grayscale: replicate luminance into RGB
+        if (c == 0 && gray)
+          ch = "Y";  // grayscale: decode luminance into R, replicate below
         else
           continue;  // keep the prefilled default
       }
+      // NOTE: FrameBuffer is keyed by channel name — inserting "Y" three
+      // times would keep only the last slice, so replicate post-read
       fb.insert(ch, Slice(FLOAT, base + c * sizeof(float), xs, ys));
     }
     f.setFrameBuffer(fb);
     f.readPixels(dw.min.y, dw.max.y);
+    if (gray) {
+      for (long long i = 0; i < w * h; ++i) {
+        out[i * 4 + 1] = out[i * 4 + 0];
+        out[i * 4 + 2] = out[i * 4 + 0];
+      }
+    }
     return 0;
   } catch (const std::exception& e) {
     exr_error() = e.what();

@@ -145,3 +145,24 @@ def test_app_skybox_flag(tmp_path, monkeypatch):
     )
     assert rc == 0
     assert os.path.exists(os.path.join(out, "frame_00000.png"))
+
+
+def test_app_kerr_lt_gets_spin(tmp_path, monkeypatch):
+    """Regression: --model kerr_lt must pass --spin through (it used to be
+    zeroed, silently rendering Schwarzschild)."""
+    import bhr_tpu.app as app_mod
+
+    captured = {}
+    orig = app_mod._chunked_loop
+
+    def spy(args, renderer, scene, stats, logger, chunk):
+        captured["spin"] = float(scene.spin)
+        return 0
+
+    monkeypatch.setattr(app_mod, "_chunked_loop", spy)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--frames", "1", "--width", "16", "--height", "8",
+               "--max-steps", "4", "--model", "kerr_lt", "--spin", "0.7",
+               "--oracle"])
+    assert rc == 0
+    assert captured["spin"] == pytest.approx(0.7)

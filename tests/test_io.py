@@ -210,3 +210,20 @@ def test_load_skybox_from_piz_exr(tmp_path):
 
     r = BlackHoleRenderer(16, 8, skybox=p)
     assert r.render_frame().shape == (8, 16, 4)
+
+
+@needs_native_exr
+def test_native_grayscale_exr_replicates_luminance(tmp_path):
+    """A Y-only EXR must decode with luminance replicated into R, G, and B
+    (regression: the FrameBuffer is keyed by channel name, so inserting
+    'Y' three times kept only the blue slice)."""
+    from bhr_tpu.io.native import read_exr_native
+
+    rng = np.random.default_rng(8)
+    lum = rng.random((12, 20), np.float32)
+    p = str(tmp_path / "gray.exr")
+    write_exr(p, lum, channels=("Y",))
+    back = read_exr_native(p)
+    for c in range(3):
+        np.testing.assert_array_equal(back[..., c], lum)
+    np.testing.assert_array_equal(back[..., 3], 1.0)
