@@ -190,18 +190,17 @@ def build_kernel(
     (y, x) are bit-identical to the 2-D iotas, so results don't change.
     """
     th, tw = tile
-    # turbo sub-stepping only applies to the stateless kernel with
-    # compatible loop bounds; silently fall back to 1 otherwise
+    # turbo sub-stepping (inlining steps_per_check SELF-GATED steps per
+    # loop trip — see one_step below; results are identical for every
+    # setting) only applies to the stateless kernel with compatible loop
+    # bounds; silently fall back to 1 otherwise. kerr_lt keeps the scratch
+    # kernel in the exact tier and its fast substep lacks the one_m clamp
+    # that keeps frozen rays' arithmetic finite, so it stays excluded.
     if steps_per_check > 1:
         ok = (
-            fast_math
-            and config.integrator == "euler"
-            and not config.disk
+            config.integrator in ("euler", "rk4")
             and not track_steps
-            # turbo substeps probe past termination boundaries; only
-            # schwarzschild/flat have the one_m clamp that keeps that safe
-            # (kerr_lt's live rays cross one_m = 0; kerr is Hamiltonian)
-            and config.model in ("schwarzschild", "flat")
+            and config.model in ("schwarzschild", "flat", "kerr")
             and max_steps % steps_per_check == 0
             and (early_exit_every == 0 or (
                 early_exit_every % steps_per_check == 0
@@ -734,10 +733,20 @@ def build_kernel(
         r_isco = params[_P_RISCO]
         r_outer = params[_P_ROUTER]
 
-        def body(carry):
-            i, relx, rely, relz, velx, vely, velz = carry
-            rel = (relx, rely, relz)
-            vel = (velx, vely, velz)
+        def one_step(rel, vel):
+            """One SELF-GATED integration step: termination mask -> dt_eff
+            -> physics -> disk test, exactly the oracle's per-step order.
+
+            steps_per_check > 1 ("turbo") inlines this whole step that many
+            times per loop trip. Because every step re-derives its own mask
+            (the r^2 dot product is needed by the physics anyway — the mask
+            adds only compares and one select-equivalent), turbo is a PURE
+            loop restructuring: results are identical for every
+            steps_per_check setting, in both math tiers, including
+            rk4 / adaptive / disk configs. The win is trip-count reduction:
+            Mosaic schedules the inlined group as one straight-line block
+            (its fori_loop cannot partially unroll), which is worth ~30% at
+            1080p x 500."""
             if is_ks:
                 # escape on coordinate distance, capture on the KS radial
                 # coordinate (the horizon lives at r_+ in KS r)
@@ -803,13 +812,14 @@ def build_kernel(
                 hr2 = hx * hx + hz * hz
                 hit = crosses & (hr2 >= r_isco * r_isco) & (hr2 <= r_outer * r_outer)
                 rel = _vwhere(hit, (hx, jnp.zeros_like(hx) + disk_sentinel_y, hz), rel)
-            # turbo: extra sub-steps share one mask evaluation; a ray that
-            # terminates mid-group integrates <= steps_per_check-1 steps
-            # extra before freezing (boundary-pixel-level deviation)
-            for _ in range(steps_per_check - 1):
-                r2 = _vdot(rel, rel)
-                inv_r = jax.lax.rsqrt(r2)
-                rel, vel = physics_substep(rel, vel, r2, inv_r, dt_eff)
+            return rel, vel
+
+        def body(carry):
+            i, relx, rely, relz, velx, vely, velz = carry
+            rel = (relx, rely, relz)
+            vel = (velx, vely, velz)
+            for _ in range(steps_per_check):
+                rel, vel = one_step(rel, vel)
             return (i + jnp.int32(steps_per_check),
                     rel[0], rel[1], rel[2], vel[0], vel[1], vel[2])
 

@@ -135,9 +135,10 @@ def render_image(
 
     `kernel_knobs` = (early_exit_every, unroll, steps_per_check) — the
     Pallas loop-structure tuning axes (ops/pallas_trace.py build_kernel);
-    None uses the defaults. Results are identical for any early_exit_every/
-    unroll; steps_per_check > 1 trades boundary-pixel-level accuracy for
-    fewer mask evaluations (the autotuner searches all three).
+    None uses the defaults. Results are identical for every knob setting:
+    steps_per_check inlines that many SELF-GATED steps per loop trip (each
+    re-derives its own termination mask), so it is a pure loop
+    restructuring (the autotuner searches all three).
 
     `skybox` is a packed-u32 (Ht, Wt) equirect texture, or None for the
     analytic procedural star field (ops/starfield.py — the gather-free fast

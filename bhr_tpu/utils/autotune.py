@@ -11,7 +11,8 @@ overhead and result caching; see docs/DESIGN.md) and caches the winner per
 Search axes (ops/pallas_trace.py build_kernel):
   tile              — (8, W) kernel tile width
   early_exit_every  — all-done check cadence (0 = fixed-trip loop)
-  steps_per_check   — turbo sub-steps sharing one mask evaluation
+  steps_per_check   — self-gated steps inlined per loop trip (pure
+                      restructuring; results identical at any setting)
   unroll            — inner fori_loop unroll factor
 
 The search is staged (tiles first, then loop knobs on the winning tile) to
@@ -66,7 +67,7 @@ def _knob_candidates(tile, max_steps: int, width: int = 0):
     # flat-id ray-gen pays when 2-D tiling pads the width
     linears = (False, True) if width % tile[1] else (False,)
     for eee in (0, DEFAULT_EARLY_EXIT_EVERY):
-        for spc in (1, 2, 4, 5, 10):
+        for spc in (1, 2, 4, 5, 10, 20, 25, 50):
             if spc > 1 and max_steps % spc:
                 continue
             if spc > 1 and eee and (eee % spc or max_steps % eee):
@@ -124,6 +125,7 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
                 TraceConfig(),
                 tile=tuple(cand["tile"]),
                 early_exit_every=cand["early_exit_every"],
+                steps_per_check=cand["steps_per_check"],
                 unroll=cand["unroll"],
                 linear=cand["linear"],
                 fast_math=False,

@@ -55,7 +55,17 @@ def run_config(idx, out_dir, fast_math):
     oracle.render_frame(cam, scene)
     a = oracle.get_image_data().astype(np.int32)
 
-    kernel = BlackHoleRenderer(w, h, use_pallas=True, fast_math=fast_math, **rkw)
+    # diff the SAME kernel program the benchmark ships: tile + loop knobs
+    # from the on-device tuning cache (bench.py loads them identically)
+    from bhr_tpu.utils.autotune import load_tuned, tuned_knobs
+
+    tuned = load_tuned(w, h, steps, fast_math=fast_math)
+    tile = tuple(tuned["tile"]) if tuned else None
+    knobs = tuned_knobs(tuned) if tuned else None
+    kernel = BlackHoleRenderer(
+        w, h, use_pallas=True, fast_math=fast_math, tile=tile,
+        kernel_knobs=knobs, **rkw
+    )
     kernel.render_frame(cam, scene)
     b = kernel.get_image_data().astype(np.int32)
 
@@ -83,6 +93,8 @@ def run_config(idx, out_dir, fast_math):
                 "mismatched_pixel_frac": round(mismatch, 6),
                 "kernel_backend": kernel.device.platform,
                 "kernel_fast_math": bool(fast_math),
+                "kernel_tile": list(tile) if tile else None,
+                "kernel_knobs": list(knobs) if knobs else None,
                 "note": "oracle = line-faithful XLA transcription of "
                 "ray_tracer_euler.wgsl (the reference GPU render is not "
                 "producible in this environment)",

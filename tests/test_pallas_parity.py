@@ -347,6 +347,103 @@ def test_kerr_disk_direction_evaluated_at_hit_point():
     assert vd.max() < 1e-4, f"disk-hit directions diverge: {vd.max()}"
 
 
+@pytest.mark.parametrize("fast_math", [True, False], ids=["fast", "exact"])
+def test_turbo_substeps_preserve_results(fast_math):
+    """steps_per_check inlines that many SELF-GATED steps per loop trip —
+    a pure loop restructuring. Every step re-derives its own termination
+    mask, so statuses and state must be identical at any setting (up to
+    cross-program 1-ulp FMA noise on the CPU backend)."""
+    cam = Camera.new([0.0, 2.0, 30.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(screen_width=48, screen_height=32, max_steps=600)
+    cfg = TraceConfig(dt=0.3)  # 180-unit path: escape at r > 100 is exercised
+    base = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=fast_math,
+        track_steps=False, early_exit_every=0, steps_per_check=1,
+    )
+    st = np.asarray(base.status)
+    assert 2 in st and 1 in st  # capture AND escape both exercised
+    for spc in (4, 10):
+        turbo = pallas_trace_image(
+            cam, scene, cfg, interpret=True, fast_math=fast_math,
+            track_steps=False, early_exit_every=0, steps_per_check=spc,
+        )
+        np.testing.assert_array_equal(st, np.asarray(turbo.status))
+        m = st != 2  # captured rays' final vel is never consumed
+        va = np.asarray(base.final_vel)[m]
+        vb = np.asarray(turbo.final_vel)[m]
+        assert (va == vb).mean() >= 0.999, f"spc={spc}"
+        np.testing.assert_allclose(va, vb, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        TraceConfig(integrator="rk4"),
+        TraceConfig(adaptive=True),
+        TraceConfig(disk=True),
+        TraceConfig(model="kerr"),
+        TraceConfig(integrator="rk4", adaptive=True, disk=True),
+    ],
+    ids=["rk4", "adaptive", "disk", "kerr", "rk4-adaptive-disk"],
+)
+@pytest.mark.parametrize("fast_math", [True, False], ids=["fast", "exact"])
+def test_turbo_extends_to_all_stateless_configs(fast_math, cfg):
+    """Self-gated turbo is results-identical for rk4 / adaptive / disk /
+    exact-Kerr configs too (each step re-derives mask, adaptive dt, and the
+    disk-crossing test exactly as the spc=1 loop does)."""
+    cam = Camera.new([0.0, 3.0, 20.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(
+        screen_width=48, screen_height=32, max_steps=120,
+        spin=jnp.float32(0.9 if cfg.model == "kerr" else 0.0),
+    )
+    a = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=fast_math,
+        track_steps=False, early_exit_every=0, steps_per_check=1,
+    )
+    b = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=fast_math,
+        track_steps=False, early_exit_every=0, steps_per_check=5,
+    )
+    sa, sb = np.asarray(a.status), np.asarray(b.status)
+    np.testing.assert_array_equal(sa, sb)
+    m = sa != 2
+    va, vb = np.asarray(a.final_vel)[m], np.asarray(b.final_vel)[m]
+    assert (va == vb).mean() >= 0.995
+    np.testing.assert_allclose(va, vb, atol=1e-5)
+    if cfg.disk:
+        assert (sa == 3).sum() > 50  # the scene really hits the disk
+        d = sa == 3
+        np.testing.assert_allclose(
+            np.asarray(a.final_pos)[d], np.asarray(b.final_pos)[d], atol=1e-5
+        )
+
+
+def test_turbo_exact_flat_stays_within_ulp():
+    """Flat spacetime never terminates a ray here, so turbo grouping leaves
+    the exact tier's trajectories unchanged up to the 1-ulp FMA-contraction
+    noise the CPU backend introduces between separately compiled programs
+    (bit-identical on the real TPU; see
+    test_stateless_exact_kernel_bit_matches_scratch_exact)."""
+    cam = Camera.default()
+    scene = _scene()
+    cfg = TraceConfig(model="flat")
+    a = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=False, track_steps=False,
+        early_exit_every=0, steps_per_check=1,
+    )
+    b = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=False, track_steps=False,
+        early_exit_every=0, steps_per_check=10,
+    )
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_allclose(
+        np.asarray(a.final_vel), np.asarray(b.final_vel), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.final_pos), np.asarray(b.final_pos), atol=5e-5
+    )
+
+
 def test_linear_raygen_matches_tiled():
     """Flat-pixel-id ray-gen (the padding-free grid for widths that don't
     divide by the tile) must decode exactly the same (y, x) per pixel:
