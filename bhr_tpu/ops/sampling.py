@@ -87,15 +87,27 @@ def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
     scripts/gather_bench.py), so the formulation minimizes index count and
     flattens to 1-D takes (2D fancy indexing costs ~1.5x more):
 
-      filter="bilinear" — exact bilinear, 4 flat gathers (~60 ms at 1080p);
+      filter="bilinear" — exact bilinear: 3 flat gathers when given a
+                          corner-packed (3, H+1, W) texture
+                          (corner_pack_texture — the renderer's bilinear
+                          tier), 4 when given a plain packed (H, W) one;
       filter="nearest"  — wgpu FilterMode::Nearest semantics, 1 flat gather
                           (~15 ms at 1080p): the real-time texture tier.
     """
-    h, w = packed_texture.shape
-    flat = packed_texture.reshape(-1)
+    if packed_texture.ndim == 3:
+        # corner-packed exact-bilinear texture (corner_pack_texture)
+        h = packed_texture.shape[1] - 1
+        w = packed_texture.shape[2]
+    else:
+        h, w = packed_texture.shape
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     u = 0.5 + jnp.arctan2(dz, dx) / jnp.float32(6.28318530718)
     v = 0.5 - jnp.arcsin(jnp.clip(dy * inv, -1.0, 1.0)) / jnp.float32(3.14159265359)
+    if packed_texture.ndim == 3:
+        if filter != "bilinear":
+            raise ValueError("corner-packed textures are bilinear-only")
+        return _sample_corner_packed(packed_texture, u, v)
+    flat = packed_texture.reshape(-1)
     if filter == "nearest":
         xn = jnp.mod(jnp.floor(u * w).astype(jnp.int32), w)
         yn = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
@@ -120,6 +132,73 @@ def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
     for k in range(3):
         top = c00[k] * (1.0 - fx) + c10[k] * fx
         bot = c01[k] * (1.0 - fx) + c11[k] * fx
+        out.append(top * (1.0 - fy) + bot * fy)
+    return tuple(out)
+
+
+def corner_pack_texture(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed-u32 (H, W) equirect texture -> corner-packed (3, H+1, W) u32.
+
+    Exact-bilinear gather-count optimization: plane c, texel (row, u) packs
+    the FOUR bilinear corner samples of channel c for any sample point whose
+    footprint top-left is (y0f = row - 1, x0 = u):
+
+        byte0 = T_c[y0, x0]    byte1 = T_c[y0, x1]
+        byte2 = T_c[y1, x0]    byte3 = T_c[y1, x1]
+
+    with x1 = (x0 + 1) mod W (Repeat-U) and y0/y1 the oracle's
+    clip(y0f, 0, H-1) / clip(y0f + 1, 0, H-1) (Clamp-V) — the extra row 0
+    holds the y0f = -1 top-edge case (both corner rows = row 0), so the
+    sampler needs no V clamp at all. One gather per CHANNEL (3 total,
+    alpha is constant) replaces one gather per CORNER (4): the minimum
+    possible for exact bilinear, since a pixel's footprint spans 12
+    independent bytes and a u32 gather returns 4 (gathers are index-count-
+    bound at ~7.4 ns/index on v5e — scripts/gather_bench.py).
+
+    Built gather-free (rolls + concats); 3x the texture's HBM footprint.
+    """
+    h, w = packed.shape
+    planes = []
+    for shift in (0, 8, 16):
+        c = (packed >> shift) & jnp.uint32(0xFF)
+        right = jnp.roll(c, -1, axis=1)  # x1 = (x0 + 1) mod W: Repeat-U
+        down = jnp.concatenate([c[1:], c[h - 1 : h]], axis=0)  # Clamp-V
+        down_right = jnp.roll(down, -1, axis=1)
+        core = c | (right << 8) | (down << 16) | (down_right << 24)
+        top = c[0:1] | (right[0:1] << 8) | (c[0:1] << 16) | (right[0:1] << 24)
+        planes.append(jnp.concatenate([top, core], axis=0))
+    return jnp.stack(planes)
+
+
+def _sample_corner_packed(cp: jnp.ndarray, u, v):
+    """Exact bilinear from a corner-packed (3, H+1, W) texture: 3 gathers.
+
+    Bit-identical to the 4-gather path (and to sample_equirect): the corner
+    values and the lerp expression trees are exactly the same; only the
+    number of HBM lookups changes."""
+    h = cp.shape[1] - 1
+    w = cp.shape[2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    # v in [0, 1] => y0f in [-1, h-1] => row in [0, h]; clip guards callers
+    # that feed unnormalized v
+    row = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h)
+    idx = row * w + x0
+    s = jnp.float32(1.0 / 255.0)
+    out = []
+    for c in range(3):
+        word = jnp.take(cp[c].reshape(-1), idx)
+        t00 = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        t11 = (word >> 24).astype(jnp.float32) * s
+        top = t00 * (1.0 - fx) + t10 * fx
+        bot = t01 * (1.0 - fx) + t11 * fx
         out.append(top * (1.0 - fy) + bot * fy)
     return tuple(out)
 

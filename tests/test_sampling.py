@@ -75,6 +75,31 @@ def test_packed_matches_float_path():
     np.testing.assert_allclose(got, ref, atol=2e-6)
 
 
+def test_corner_packed_bit_matches_four_gather():
+    """The 3-gather corner-packed bilinear (the renderer's bilinear tier)
+    must be BIT-identical to the 4-gather path: same corner values, same
+    lerp expression trees — only the HBM lookup count differs. Directions
+    cover the U seam and both V poles (the clamp rows the extra row-0
+    encodes)."""
+    import jax
+
+    from bhr_tpu.ops.sampling import corner_pack_texture
+
+    tex = _tex(16, 32, seed=7)
+    packed = pack_texture_rgba8(tex)
+    cp = jax.jit(corner_pack_texture)(packed)
+    assert cp.shape == (3, 17, 32)
+    rng = np.random.RandomState(5)
+    d = rng.randn(4000, 3).astype(np.float32)
+    # pole-heavy directions: dy dominant -> v near 0/1 (y0f = -1 edge case)
+    d[:400, 1] = np.abs(d[:400, 1]) * 50.0 + 50.0
+    d[400:800, 1] = -(np.abs(d[400:800, 1]) * 50.0 + 50.0)
+    dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
+    a = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
+    b = np.stack(sample_equirect_packed(cp, dx, dy, dz), -1)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_quantize_rgba8():
     rgb = jnp.asarray([[0.0, 0.5, 1.0], [-0.1, 1.1, 0.25]])
     q = np.asarray(quantize_rgba8(rgb))
