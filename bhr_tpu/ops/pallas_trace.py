@@ -77,11 +77,15 @@ def monolithic_eligible(config, scene, *, use_pallas, fast_math, skybox,
     renderer.render_image and parallel.mesh both consult it."""
     return (
         use_pallas
-        and fast_math
         and skybox is None
         and disk_params is None
         and not config.disk
         and config.integrator in ("euler", "rk4")
+        # exact tier fuses too (round 2): in-kernel shading reuses the
+        # identical starfield ops and a true round-half-even quantizer, so
+        # frames bit-match the staged epilogue. kerr_lt exact has no
+        # stateless kernel (scratch only) and stays staged.
+        and (fast_math or config.model != "kerr_lt")
         and scene.debug_mode == 0
         and tonemap == "passthrough"
     )
@@ -173,6 +177,7 @@ def build_kernel(
     shade_inline: bool = False,
     shade_seed: int = 2020,
     linear: bool = False,
+    native_ops: bool = False,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -188,6 +193,19 @@ def build_kernel(
     < 2^24). Kills tile-padding waste for widths that don't divide by the
     tile width (e.g. 28% at 800 wide with (8, 512) tiles -> 0.7%); decoded
     (y, x) are bit-identical to the 2-D iotas, so results don't change.
+
+    `native_ops` (exact tier, real-TPU compilation only): the v5e's native
+    fp32 divide lowering is reciprocal-estimate + one Newton refinement +
+    multiply — scripts/ieee_probe.py bit-matches it on 4M log-uniform
+    samples (0 ulp; note the native divide is NOT IEEE-correctly-rounded:
+    it differs from the host's by up to 2 ulp on ~35% of inputs, so "exact"
+    has always meant "the TPU oracle's own lowering"). When a step divides
+    several numerators by ONE denominator (x/r, y/r, z/r, rs/r share r; the
+    renormalization's three share |v|), computing that refinement once and
+    multiplying per numerator is bit-identical to the per-quotient native
+    divisions at ~1/3 the op count. Off for interpret mode, where
+    pl.reciprocal is a true reciprocal and the sequence would NOT match
+    native division bits.
     """
     th, tw = tile
     # turbo sub-stepping (inlining steps_per_check SELF-GATED steps per
@@ -225,6 +243,17 @@ def build_kernel(
 
         def _recip(x):
             return 1.0 / x
+
+    def _shared_div(b):
+        """Returns a function a -> a/b. With native_ops, hoists the native
+        divide's reciprocal refinement (bit-identical, see `native_ops` in
+        the docstring) so same-denominator division groups pay it once."""
+        if native_ops:
+            y0 = pl.reciprocal(b, approx=True)
+            e = 1.0 - b * y0
+            y = y0 + y0 * e
+            return lambda a: a * y
+        return lambda a: a / b
 
     def accel(rel, vel, r, r2, rs, spin):
         """Spacetime acceleration on component planes.
@@ -654,12 +683,14 @@ def build_kernel(
             if config.model == "flat":
                 nv = vel
             else:
-                # NOTE: replacing the three divisions with one shared
-                # reciprocal + multiplies was measured SLOWER on v5e
-                # (30.2 vs 23.2 ms/frame) — IEEE division throughput is not
-                # the exact tier's bottleneck, so keep the bit-parity form
-                r_vec = (rel[0] / r, rel[1] / r, rel[2] / r)
-                rs_over_r = rs / r
+                # NOTE: an earlier attempt replaced these divisions with an
+                # XLA-level 1/r (different bits, and measured slower at
+                # 30.2 ms). _shared_div is different: it reproduces the
+                # native divide's own lowering with the refinement hoisted —
+                # bit-identical AND fewer ops (plain a/b in interpret mode).
+                div_r = _shared_div(r)
+                r_vec = (div_r(rel[0]), div_r(rel[1]), div_r(rel[2]))
+                rs_over_r = div_r(rs)
                 one_m = 1.0 - rs_over_r
                 # frozen captured rays can sit at one_m <= 0 (r <= rs)
                 one_m = _freeze_guard(one_m, m, 0.5)
@@ -678,7 +709,8 @@ def build_kernel(
             new_rel = _vaxpy(rel, nv, dt_eff)
             s = jnp.sqrt(_vdot(nv, nv))
             s = _freeze_guard(s, m, 1.0)  # frozen: divide by exactly 1.0
-            return new_rel, (nv[0] / s, nv[1] / s, nv[2] / s)
+            div_s = _shared_div(s)
+            return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
 
         def sl_rk4_exact(rel, vel, dt_eff, m):
             """IEEE RK4 mirroring ops/geodesic.rk4_step (substep radii
@@ -689,8 +721,9 @@ def build_kernel(
 
             def deriv(p, v):
                 rr = jnp.maximum(jnp.sqrt(_vdot(p, p)), guard)
-                r_vec = (p[0] / rr, p[1] / rr, p[2] / rr)
-                rs_over_r = rs / rr
+                div_rr = _shared_div(rr)
+                r_vec = (div_rr(p[0]), div_rr(p[1]), div_rr(p[2]))
+                rs_over_r = div_rr(rs)
                 one_m = 1.0 - rs_over_r
                 factor = rs / (2.0 * rr * rr * one_m)
                 v_rad = _vdot(v, r_vec)
@@ -727,7 +760,8 @@ def build_kernel(
             nv = _vaxpy(vel, kv, sixth)
             s = jnp.sqrt(_vdot(nv, nv))
             s = _freeze_guard(s, m, 1.0)
-            return new_rel, (nv[0] / s, nv[1] / s, nv[2] / s)
+            div_s = _shared_div(s)
+            return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
 
         disk_sentinel_y = 2.5 * escape_r_param
         r_isco = params[_P_RISCO]
@@ -920,21 +954,43 @@ def build_kernel(
         """Trace + shade fused in one kernel: a single packed-u32 RGBA
         output plane per tile (analytic cube-hash background; captured rays
         black). Skips ~8 HBM output planes and the separate XLA shading
-        dispatch on the fast path."""
+        dispatch. The exact tier quantizes with a true round-half-even
+        sequence and where-masks, keeping frames bit-identical to the
+        staged epilogue's jnp.round / jnp.where."""
         from .starfield import procedural_background
 
         rel, vel, r2, r2cap, bh, cap2, esc2, _ = _stateless_trace(params)
         r, g, b = procedural_background(vel[0], vel[1], vel[2], seed=shade_seed)
-        live = (r2cap >= cap2).astype(jnp.float32)
-        # round-half-up quantization (Mosaic has no round-to-even; within
-        # the fast tier's tolerance vs the epilogue's jnp.round)
-        def q(c):
-            # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast
-            return (
-                jnp.floor(jnp.clip(c * live, 0.0, 1.0) * 255.0 + 0.5)
-                .astype(jnp.int32)
-                .astype(jnp.uint32)
-            )
+        captured = r2cap < cap2  # == (status == STATUS_CAPTURED), see below
+        if fast_math:
+            live = (~captured).astype(jnp.float32)
+
+            # round-half-up quantization (cheaper than round-to-even;
+            # within the fast tier's tolerance vs the epilogue's jnp.round)
+            def q(c):
+                # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast
+                return (
+                    jnp.floor(jnp.clip(c * live, 0.0, 1.0) * 255.0 + 0.5)
+                    .astype(jnp.int32)
+                    .astype(jnp.uint32)
+                )
+
+        else:
+            zero = jnp.zeros_like(r)
+
+            def q(c):
+                # mirror shade_planes_packed exactly: where-mask, clip,
+                # *255, round-half-even. floor/subtract are exact for
+                # x in [0, 256), so this IS jnp.round bit-for-bit (Mosaic
+                # has no round-to-even instruction to lower jnp.round to)
+                x = jnp.clip(jnp.where(captured, zero, c), 0.0, 1.0) * 255.0
+                t = jnp.floor(x)
+                fr = x - t
+                odd = t - 2.0 * jnp.floor(t * 0.5)
+                up = (fr > 0.5) | ((fr == 0.5) & (odd == 1.0))
+                return (t + up.astype(jnp.float32)).astype(jnp.int32).astype(
+                    jnp.uint32
+                )
 
         frame_o[:] = (
             q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
@@ -1342,7 +1398,7 @@ def _pallas_trace(
         linear = False  # the fp32 pixel-id decode is only exact below 2^24
     kernel, needs_scratch = build_kernel(
         config, max_steps, tile, fast_math, early_exit_every, track_steps,
-        unroll, steps_per_check, linear=linear,
+        unroll, steps_per_check, linear=linear, native_ops=not interpret,
     )
     if linear:
         n_pix = height * width
@@ -1392,6 +1448,7 @@ def _pallas_trace(
     static_argnames=(
         "width", "height", "max_steps", "config", "tile", "early_exit_every",
         "unroll", "steps_per_check", "seed", "interpret", "linear",
+        "fast_math",
     ),
 )
 def _pallas_render_mono(
@@ -1408,14 +1465,15 @@ def _pallas_render_mono(
     seed: int,
     interpret: bool,
     linear: bool = False,
+    fast_math: bool = True,
 ):
     th, tw = tile
     if height * width >= (1 << 24):
         linear = False  # the fp32 pixel-id decode is only exact below 2^24
     kernel, _ = build_kernel(
-        config, max_steps, tile, True, early_exit_every, False,
+        config, max_steps, tile, fast_math, early_exit_every, False,
         unroll, steps_per_check, shade_inline=True, shade_seed=seed,
-        linear=linear,
+        linear=linear, native_ops=not interpret,
     )
     if linear:
         n_pix = height * width
@@ -1461,12 +1519,14 @@ def pallas_render_packed(
     col0=0,
     local_shape: tuple[int, int] | None = None,
     linear: bool | None = None,
+    fast_math: bool = True,
 ):
-    """Monolithic fast path: trace + analytic shading fused in one Pallas
+    """Monolithic path: trace + analytic shading fused in one Pallas
     kernel -> packed u32 (H, W) frame. Requires the stateless-kernel
-    conditions (euler, fast math, no disk, no step tracking, procedural
-    background, passthrough tonemap); callers fall back to
-    pallas_trace_image + the XLA epilogue otherwise."""
+    conditions (euler/rk4, no disk, no step tracking, procedural
+    background, passthrough tonemap; either math tier — the exact tier
+    shades with where-masks and a bit-true round-half-even); callers fall
+    back to pallas_trace_image + the XLA epilogue otherwise."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     height, width = local_shape or (scene.screen_height, scene.screen_width)
@@ -1489,6 +1549,7 @@ def pallas_render_packed(
         seed=seed,
         interpret=interpret,
         linear=bool(linear),
+        fast_math=fast_math,
     )
 
 

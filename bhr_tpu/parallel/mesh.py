@@ -87,6 +87,7 @@ def _render_band(
         return pallas_render_packed(
             camera, scene, config, seed=seed, tile=tile, interpret=interpret,
             row0=row0, local_shape=(band_h, scene.screen_width),
+            fast_math=fast_math,
         )
     if use_pallas:
         result = pallas_trace_image(

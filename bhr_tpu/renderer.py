@@ -159,7 +159,7 @@ def render_image(
         frame = pallas_render_packed(
             camera, scene, config, seed=seed, tile=tile, interpret=interpret,
             early_exit_every=eee, unroll=unroll, steps_per_check=spc,
-            linear=linear,
+            linear=linear, fast_math=fast_math,
         )
         return frame if packed else unpack_frame(frame)
     if use_pallas:
@@ -289,6 +289,13 @@ class BlackHoleRenderer:
                 from .ops.sampling import prefilter_packed_texture
 
                 packed = jax.jit(prefilter_packed_texture)(packed)
+            elif texture_filter == "bilinear":
+                # exact bilinear at 3 gathers/pixel instead of 4: each
+                # channel plane packs the full 4-corner footprint per word
+                # (ops/sampling.corner_pack_texture)
+                from .ops.sampling import corner_pack_texture
+
+                packed = jax.jit(corner_pack_texture)(packed)
             self.skybox = packed
         self.skybox_seed = int(skybox_seed)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None

@@ -444,6 +444,35 @@ def test_turbo_exact_flat_stays_within_ulp():
     )
 
 
+@pytest.mark.parametrize("integrator", ["euler", "rk4"])
+def test_monolithic_exact_bit_matches_staged(integrator):
+    """The exact-tier monolithic kernel (in-kernel shade + true
+    round-half-even quantizer) must produce the SAME packed frame as the
+    staged pipeline (stateless exact trace -> shade_planes_packed with
+    jnp.where / jnp.round)."""
+    from bhr_tpu.ops.pallas_trace import pallas_render_packed
+    from bhr_tpu.ops.shading import shade_planes_packed
+    from bhr_tpu.ops.starfield import procedural_background
+    import functools
+
+    cam = Camera.default()
+    scene = _scene()
+    cfg = TraceConfig(integrator=integrator)
+    mono = pallas_render_packed(
+        cam, scene, cfg, interpret=True, early_exit_every=0, fast_math=False
+    )
+    result = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=False, track_steps=False,
+        early_exit_every=0,
+    )
+    staged = shade_planes_packed(
+        result,
+        functools.partial(procedural_background, seed=2020),
+        scene.max_steps,
+    )
+    np.testing.assert_array_equal(np.asarray(mono), np.asarray(staged))
+
+
 def test_linear_raygen_matches_tiled():
     """Flat-pixel-id ray-gen (the padding-free grid for widths that don't
     divide by the tile) must decode exactly the same (y, x) per pixel:
