@@ -217,6 +217,17 @@ def autotune(
                 _knob_candidates(tuple(best["tile"]), max_steps, width),
                 measure, best,
             )
+        # stage 3: the winning loop structure back across the other tiles —
+        # tile and loop knobs interact (measured on v5e: (8, 640) wins at
+        # spc=1 but (8, 512) wins at spc=20, 10.3 -> 9.9 ms at 1080p), so a
+        # purely staged search can strand the winner on the wrong tile
+        if best is not None:
+            retries = [
+                {**best, "tile": list(t["tile"])}
+                for t in _tile_candidates(width)
+                if list(t["tile"]) != list(best["tile"])
+            ]
+            best = _search(retries, measure, best)
     result = best or default
     cache[key] = result
     try:
