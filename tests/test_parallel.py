@@ -50,6 +50,23 @@ def test_sharded_frame_with_texture_skybox(small_skybox):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_frame_with_corner_packed_skybox(small_skybox):
+    """The corner-packed (3, H+1, W) bilinear texture (the renderer's
+    default tier) replicates over the mesh like the plain (H, W) one and
+    produces the identical frame."""
+    from bhr_tpu.ops.sampling import corner_pack_texture
+
+    scene = SceneParams(**SCENE)
+    cam = Camera.default()
+    mesh = make_mesh(8, shape=(1, 8))
+    cp = corner_pack_texture(jnp.asarray(pack_texture_rgba8(small_skybox)))
+    sharded = np.asarray(render_frame_sharded(cam, scene, cp, mesh))
+    single = np.asarray(
+        BlackHoleRenderer(64, 32, skybox=small_skybox).render_frame(cam, scene)
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_sharded_animation_dp_x_sp():
     scene = SceneParams(**SCENE)
     mesh = make_mesh(8)  # (2, 4)
