@@ -74,6 +74,30 @@ def _unpack_rgb(word):
     return r, g, b
 
 
+
+def _footprint(u, v, w, h):
+    """Shared bilinear sample-footprint math: (x0, y0f_int, fx, fy).
+
+    Single source of truth for BOTH packed samplers (4-gather and
+    corner-packed) so their bit-identity is structural: any footprint
+    change lands in both paths by construction."""
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    return x0, y0f.astype(jnp.int32), fx, fy
+
+
+def _lerp2d(t00, t10, t01, t11, fx, fy):
+    """The oracle's bilinear expression tree (identical in both samplers)."""
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
                            filter: str = "bilinear"):
     """Planar equirect sample from a packed-u32 texture.
@@ -112,28 +136,19 @@ def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
         xn = jnp.mod(jnp.floor(u * w).astype(jnp.int32), w)
         yn = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
         return _unpack_rgb(jnp.take(flat, yn * w + xn))
-    x = u * w - 0.5
-    y = v * h - 0.5
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    fx = x - x0f
-    fy = y - y0f
-    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    x0, y0f, fx, fy = _footprint(u, v, w, h)
     x1 = jnp.mod(x0 + 1, w)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    y0 = jnp.clip(y0f, 0, h - 1)
+    y1 = jnp.clip(y0f + 1, 0, h - 1)
     y0w = y0 * w
     y1w = y1 * w
     c00 = _unpack_rgb(jnp.take(flat, y0w + x0))
     c10 = _unpack_rgb(jnp.take(flat, y0w + x1))
     c01 = _unpack_rgb(jnp.take(flat, y1w + x0))
     c11 = _unpack_rgb(jnp.take(flat, y1w + x1))
-    out = []
-    for k in range(3):
-        top = c00[k] * (1.0 - fx) + c10[k] * fx
-        bot = c01[k] * (1.0 - fx) + c11[k] * fx
-        out.append(top * (1.0 - fy) + bot * fy)
-    return tuple(out)
+    return tuple(
+        _lerp2d(c00[k], c10[k], c01[k], c11[k], fx, fy) for k in range(3)
+    )
 
 
 def corner_pack_texture(packed: jnp.ndarray) -> jnp.ndarray:
@@ -178,16 +193,10 @@ def _sample_corner_packed(cp: jnp.ndarray, u, v):
     number of HBM lookups changes."""
     h = cp.shape[1] - 1
     w = cp.shape[2]
-    x = u * w - 0.5
-    y = v * h - 0.5
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    fx = x - x0f
-    fy = y - y0f
-    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    x0, y0f, fx, fy = _footprint(u, v, w, h)
     # v in [0, 1] => y0f in [-1, h-1] => row in [0, h]; clip guards callers
     # that feed unnormalized v
-    row = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h)
+    row = jnp.clip(y0f + 1, 0, h)
     idx = row * w + x0
     s = jnp.float32(1.0 / 255.0)
     out = []
@@ -197,9 +206,7 @@ def _sample_corner_packed(cp: jnp.ndarray, u, v):
         t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
         t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
         t11 = (word >> 24).astype(jnp.float32) * s
-        top = t00 * (1.0 - fx) + t10 * fx
-        bot = t01 * (1.0 - fx) + t11 * fx
-        out.append(top * (1.0 - fy) + bot * fy)
+        out.append(_lerp2d(t00, t10, t01, t11, fx, fy))
     return tuple(out)
 
 

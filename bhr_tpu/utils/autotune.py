@@ -97,7 +97,7 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
     """
     from ..core.camera import orbit_camera
     from ..core.scene import SceneParams
-    from ..ops.pallas_trace import pallas_render_packed, pallas_trace_image
+    from ..ops.pallas_trace import pallas_render_packed
     from ..ops.trace import TraceConfig
 
     cand = _normalize(cand)
@@ -106,33 +106,21 @@ def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=Tru
     )
 
     def one(c, t):
-        if fast_math:
-            out = pallas_render_packed(
-                orbit_camera(t),
-                scene,
-                TraceConfig(),
-                tile=tuple(cand["tile"]),
-                early_exit_every=cand["early_exit_every"],
-                steps_per_check=cand["steps_per_check"],
-                unroll=cand["unroll"],
-                linear=cand["linear"],
-                interpret=False,
-            )
-        else:
-            res = pallas_trace_image(
-                orbit_camera(t),
-                scene,
-                TraceConfig(),
-                tile=tuple(cand["tile"]),
-                early_exit_every=cand["early_exit_every"],
-                steps_per_check=cand["steps_per_check"],
-                unroll=cand["unroll"],
-                linear=cand["linear"],
-                fast_math=False,
-                track_steps=False,
-                interpret=False,
-            )
-            out = res.final_vel.sum()
+        # measure the SHIPPED program: both math tiers render through the
+        # monolithic trace+shade kernel, exactly what bench.py/render_image
+        # dispatch for this (headline, no-texture) config
+        out = pallas_render_packed(
+            orbit_camera(t),
+            scene,
+            TraceConfig(),
+            tile=tuple(cand["tile"]),
+            early_exit_every=cand["early_exit_every"],
+            steps_per_check=cand["steps_per_check"],
+            unroll=cand["unroll"],
+            linear=cand["linear"],
+            interpret=False,
+            fast_math=fast_math,
+        )
         return c, out
 
     f = jax.jit(lambda ts: jax.lax.scan(one, 0, ts)[1])
@@ -222,11 +210,18 @@ def autotune(
         # spc=1 but (8, 512) wins at spc=20, 10.3 -> 9.9 ms at 1080p), so a
         # purely staged search can strand the winner on the wrong tile
         if best is not None:
-            retries = [
-                {**best, "tile": list(t["tile"])}
-                for t in _tile_candidates(width)
-                if list(t["tile"]) != list(best["tile"])
-            ]
+            retries = []
+            for t in _tile_candidates(width):
+                if list(t["tile"]) == list(best["tile"]):
+                    continue
+                # linear ray-gen's payoff is a per-tile property (it kills
+                # width-padding waste), so re-explore it per retried tile
+                # rather than pinning the stage-2 winner's setting
+                lin_opts = {False, bool(width % t["tile"][1])}
+                for lin in sorted(lin_opts):
+                    retries.append(
+                        {**best, "tile": list(t["tile"]), "linear": lin}
+                    )
             best = _search(retries, measure, best)
     result = best or default
     cache[key] = result

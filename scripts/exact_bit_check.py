@@ -47,7 +47,11 @@ def check(name, cfg, cam, scene, status_tol_frac=0.0):
     # disagree there even with identical per-step arithmetic, because the
     # loop structures compile to different FMA schedules)
     status_eq = float((st_a != st_b).mean()) <= status_tol_frac
-    m = (st_a != 2) & (st_b != 2)  # captured rays' state is never consumed
+    # exclude captured rays (their state is never consumed) AND the
+    # boundary rays the status tolerance admits — a ray the two programs
+    # classify differently diverged by an ulp mid-trajectory, so its final
+    # state is expected cross-program noise, not a shared-division bug
+    m = (st_a != 2) & (st_b != 2) & (st_a == st_b)
     va = np.asarray(scratch.final_vel)[m]
     vb = np.asarray(sl.final_vel)[m]
     vel_bits_eq = bool(

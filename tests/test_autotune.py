@@ -38,19 +38,23 @@ def test_staged_search_measures_tiles_then_knobs(tmp_path):
     assert best["early_exit_every"] == 0
     assert best["steps_per_check"] == 2
     assert best["ms_per_frame"] == 8.0
-    # stage 3 re-tries the non-winning tiles with the winning knobs
+    # stage 3 re-tries the non-winning tiles with the winning knobs,
+    # re-exploring the linear axis where the tile pads the width
+    # (1024 % 256 == 0 -> 1 retry; % 384 and % 640 != 0 -> 2 each)
+    n_stage3 = 5
     n_expected = (
         len(_tile_candidates(1024))
         + len(_knob_candidates((8, 512), 100))
-        + len(_tile_candidates(1024)) - 1
+        + n_stage3
     )
     assert len(calls) == n_expected
     # the stage-3 retries carry the stage-2 winning loop structure
-    retries = calls[-(len(_tile_candidates(1024)) - 1):]
+    retries = calls[-n_stage3:]
     assert all(
         c["early_exit_every"] == 0 and c["steps_per_check"] == 2 for c in retries
     )
     assert all(tuple(c["tile"]) != (8, 512) for c in retries)
+    assert any(c["linear"] for c in retries)  # padded tiles retried linear too
     # cached: second call measures nothing
     calls.clear()
     again = autotune(1024, 512, 100, cache_path=cache, measure_fn=fake_measure)
