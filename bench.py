@@ -105,12 +105,35 @@ def main():
 
     n_small = max(2, n_frames // 10)
 
-    def run(n, start):
-        frames = anim.render_frames(
-            n, fps=60.0, start_frame=start, scene=scene, packed=True
-        )
-        jax.block_until_ready(frames)
-        return frames
+    multires = int(os.environ.get("BHR_BENCH_MULTIRES", "0"))
+    if multires:
+        # roadmap Phase 4-1 mode: 1/divisor-res geodesics + edge fix-up
+        from bhr_tpu.core.camera import orbit_camera
+        from bhr_tpu.ops.multires import render_multires
+
+        def frame_fn(c, t):
+            # renderer.skybox is the packed (and tier-transformed) texture;
+            # renderer._sample_filter matches it (corner-packed -> bilinear)
+            return c, render_multires(
+                orbit_camera(t), scene, renderer.skybox, divisor=multires,
+                texture_filter=renderer._sample_filter, interpret=False,
+                packed=True,
+            )
+
+        scan = jax.jit(lambda ts: jax.lax.scan(frame_fn, 0, ts)[1])
+
+        def run(n, start):
+            ts = (jnp.arange(n, dtype=jnp.float32) + start) / 60.0
+            return jax.block_until_ready(scan(ts))
+
+    else:
+
+        def run(n, start):
+            frames = anim.render_frames(
+                n, fps=60.0, start_frame=start, scene=scene, packed=True
+            )
+            jax.block_until_ready(frames)
+            return frames
 
     # compile both scan lengths + init the device->host channel (required
     # before timing: block_until_ready is only honest once it exists)
@@ -140,6 +163,8 @@ def main():
     mray_steps = width * height * max_steps / (slope_ms / 1000.0) / 1e6
     target_ms = 16.0
     suffix = f"_tex-{texture_filter}" if texture else ""
+    if multires:
+        suffix += f"_multires{multires}"
     if model != "schwarzschild":
         suffix += f"_{model}"
     if disk:

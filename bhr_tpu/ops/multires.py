@@ -1,0 +1,213 @@
+"""Multi-resolution rendering: the reference roadmap's Phase 4-1.
+
+SpaceEngine-style two-pass scheme (reference: docs/ROADMAP.md:826-946):
+geodesics are integrated at 1/divisor resolution, the resulting DEFLECTION
+field (final ray directions) is interpolated to full resolution, and
+shading runs at full resolution on the interpolated directions — so the
+star field / texture stays pixel-sharp while the expensive integration
+runs on divisor^2 x fewer rays. Shadow-edge pixels, where interpolating
+the deflection field is invalid (it blends captured and escaped rays),
+are detected and re-integrated at full resolution.
+
+TPU-first design choices (vs the reference's fragment-shader warp):
+
+  * The deflection upsample is GATHER-FREE: for an integer divisor the
+    bilinear sample positions fall on `divisor` static phases per axis
+    (x_low = (j + 0.5)/d - 0.5), so upsampling is shift-and-blend on
+    whole planes — pure VPU, no per-pixel indexing (the same static-phase
+    identity sampling.prefilter_packed_texture uses).
+  * Edge re-integration is a MASKED full-resolution kernel pass
+    (pallas_trace_image(mask=...)): masked-off rays start outside the
+    escape sphere and self-freeze at step 0, and a tile whose rays are
+    all masked fails the early-exit condition before its first loop trip
+    — tiles, not pixels, are the skip granularity, so the pass costs
+    roughly (edge tile fraction) x (full render). A narrow tile
+    (default (8, 256)) keeps that fraction close to the true edge area.
+  * Everything is static-shaped and jit-compatible: one compiled program
+    per (scene shape, divisor), usable inside the fused lax.scan
+    animation path.
+
+This is an APPROXIMATION mode (the reference targets SSIM > 0.95, not
+parity): non-edge pixels shade with interpolated directions. Accuracy is
+bounded by the smoothness of the deflection field away from the photon
+ring; tests/test_multires.py pins the flat-space exactness, the edge
+detector, and the full-pipeline error budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_trace import DEFAULT_EARLY_EXIT_EVERY, pallas_trace_image, pick_tile
+from .shading import shade_planes_packed
+from .starfield import procedural_background
+from .trace import TraceConfig, TraceResult
+from .sampling import sample_equirect_packed, unpack_frame
+
+
+def _shift(plane, s, axis):
+    """plane[clip(i + s)] along `axis` (edge clamp) — concat/slice, no gather."""
+    if s == 0:
+        return plane
+    n = plane.shape[axis]
+    if s == 1:
+        body = jax.lax.slice_in_dim(plane, 1, n, axis=axis)
+        last = jax.lax.slice_in_dim(plane, n - 1, n, axis=axis)
+        return jax.lax.concatenate([body, last], axis)
+    if s == -1:
+        first = jax.lax.slice_in_dim(plane, 0, 1, axis=axis)
+        body = jax.lax.slice_in_dim(plane, 0, n - 1, axis=axis)
+        return jax.lax.concatenate([first, body], axis)
+    raise ValueError(s)
+
+
+def _upsample_axis(plane, factor: int, axis: int):
+    """Bilinear x`factor` upsample along one axis, static phases, clamped."""
+    phases = []
+    for p in range(factor):
+        x = (p + 0.5) / factor - 0.5  # position in source-texel units
+        base = 0 if x >= 0 else -1
+        frac = jnp.float32(x - base)
+        lo = _shift(plane, base, axis)
+        hi = _shift(plane, base + 1, axis)
+        phases.append(lo * (1.0 - frac) + hi * frac)
+    stacked = jnp.stack(phases, axis=axis + 1)
+    shape = list(plane.shape)
+    shape[axis] *= factor
+    return stacked.reshape(shape)
+
+
+def upsample_bilinear(plane, factor: int, out_shape):
+    """(lh, lw) -> bilinear (lh*factor, lw*factor), cropped to out_shape."""
+    up = _upsample_axis(_upsample_axis(plane, factor, 0), factor, 1)
+    return up[: out_shape[0], : out_shape[1]]
+
+
+def _neighbor_max(plane):
+    """3x3 neighborhood max (separable, shift-based)."""
+    m = jnp.maximum(jnp.maximum(_shift(plane, -1, 0), _shift(plane, 1, 0)), plane)
+    return jnp.maximum(jnp.maximum(_shift(m, -1, 1), _shift(m, 1, 1)), m)
+
+
+def deflection_edges(vel_planes, status, threshold: float):
+    """Low-res mask of pixels whose deflection field cannot be interpolated.
+
+    A pixel is an edge when any 4-neighbor differs in termination status
+    (shadow boundary: captured vels are frozen garbage for shading) or in
+    deflection by more than `threshold` (photon-ring whirl, where the
+    field's curvature outruns bilinear accuracy). Dilated by one pixel so
+    the full-res bilinear support of every flagged sample is covered.
+    """
+    st = status.astype(jnp.float32)
+    diff = jnp.zeros_like(st)
+    for axis in (0, 1):
+        for s in (-1, 1):
+            d = jnp.zeros_like(st)
+            for v in vel_planes:
+                d = jnp.maximum(d, jnp.abs(_shift(v, s, axis) - v))
+            d = jnp.maximum(d, jnp.abs(_shift(st, s, axis) - st) * 1e6)
+            diff = jnp.maximum(diff, d)
+    edge = (diff > threshold).astype(jnp.float32)
+    return _neighbor_max(edge)  # dilate 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "divisor", "texture_filter", "seed", "edge_fix",
+        "edge_threshold", "fix_tile", "interpret", "fast_math", "tile",
+        "packed", "low_knobs", "fix_knobs",
+    ),
+)
+def render_multires(
+    camera,
+    scene,
+    skybox=None,
+    *,
+    config: TraceConfig = TraceConfig(),
+    divisor: int = 3,
+    texture_filter: str = "bilinear",
+    seed: int = 2020,
+    edge_fix: bool = True,
+    edge_threshold: float = 0.05,
+    fix_tile=(8, 256),
+    interpret: bool | None = None,
+    fast_math: bool = True,
+    tile=None,
+    packed: bool = False,
+    low_knobs=(0, 1, 50),
+    fix_knobs=(50, 1, 50),
+):
+    """Render one frame with 1/divisor-resolution geodesics (+ edge fix-up).
+
+    Returns uint8 (H, W, 4), or the packed u32 (H, W) frame when
+    `packed=True`. Disk and debug modes need full per-pixel hit state and
+    are not supported here — use the full-resolution path for those.
+    """
+    if config.disk:
+        raise ValueError("multires does not support the accretion disk")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = scene.screen_height, scene.screen_width
+    lh = -(-height // divisor)
+    lw = -(-width // divisor)
+    low_scene = scene.replace(screen_width=lw, screen_height=lh)
+    # loop knobs: the low pass runs fixed-trip with self-gated turbo (the
+    # headline winner — nothing escapes early in the target scenes); the
+    # fix-up pass MUST keep a non-zero early-exit cadence, since the
+    # all-masked-tile skip happens in the loop condition
+    low = pallas_trace_image(
+        camera, low_scene, config,
+        tile=tile or pick_tile(lw),
+        fast_math=fast_math, interpret=interpret, track_steps=False,
+        early_exit_every=low_knobs[0], unroll=low_knobs[1],
+        steps_per_check=low_knobs[2],
+    )
+    lvx = low.final_vel[..., 0]
+    lvy = low.final_vel[..., 1]
+    lvz = low.final_vel[..., 2]
+    out_shape = (height, width)
+    vx = upsample_bilinear(lvx, divisor, out_shape)
+    vy = upsample_bilinear(lvy, divisor, out_shape)
+    vz = upsample_bilinear(lvz, divisor, out_shape)
+    status_up = jnp.repeat(
+        jnp.repeat(low.status, divisor, axis=0), divisor, axis=1
+    )[: height, : width]
+
+    if edge_fix:
+        edge_low = deflection_edges((lvx, lvy, lvz), low.status, edge_threshold)
+        edge = jnp.repeat(
+            jnp.repeat(edge_low, divisor, axis=0), divisor, axis=1
+        )[: height, : width]
+        fix = pallas_trace_image(
+            camera, scene, config,
+            tile=fix_tile, fast_math=fast_math, interpret=interpret,
+            track_steps=False, early_exit_every=max(fix_knobs[0], 1),
+            unroll=fix_knobs[1], steps_per_check=fix_knobs[2],
+            mask=edge,
+        )
+        em = edge > 0.0
+        vx = jnp.where(em, fix.final_vel[..., 0], vx)
+        vy = jnp.where(em, fix.final_vel[..., 1], vy)
+        vz = jnp.where(em, fix.final_vel[..., 2], vz)
+        status = jnp.where(em, fix.status, status_up)
+    else:
+        status = status_up
+
+    result = TraceResult(
+        final_pos=jnp.zeros((height, width, 3), jnp.float32),
+        final_vel=jnp.stack([vx, vy, vz], axis=-1),
+        status=status,
+        steps=jnp.zeros((height, width), jnp.int32),
+    )
+    if skybox is None:
+        background = functools.partial(procedural_background, seed=seed)
+    else:
+        background = functools.partial(
+            sample_equirect_packed, skybox, filter=texture_filter
+        )
+    frame = shade_planes_packed(result, background, scene.max_steps)
+    return frame if packed else unpack_frame(frame)

@@ -178,6 +178,7 @@ def build_kernel(
     shade_seed: int = 2020,
     linear: bool = False,
     native_ops: bool = False,
+    masked: bool = False,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -556,7 +557,7 @@ def build_kernel(
             return _vscale(dq, jax.lax.rsqrt(_vdot(dq, dq)))
         return _vnorm(dq)
 
-    def _stateless_trace(params):
+    def _stateless_trace(params, mask_ref=None):
         """Shared stateless trace loop -> (rel, vel, final r2, bh, cap2, esc2)."""
         gi = pl.program_id(0)
         gj = pl.program_id(1)
@@ -614,6 +615,21 @@ def build_kernel(
         ones = jnp.ones((th, tw), jnp.float32)
         rel0 = (cam[0] - bh[0] + 0.0 * ones, cam[1] - bh[1] + 0.0 * ones,
                 cam[2] - bh[2] + 0.0 * ones)
+        if mask_ref is not None:
+            # multi-resolution edge fix-up (ops/multires.py): rays with
+            # mask 0 start OUTSIDE the escape sphere, so the stateless
+            # termination test freezes them at step 0 — and a tile whose
+            # rays are ALL skipped fails the early-exit cond before its
+            # first trip, costing zero integration steps. Their outputs
+            # (sentinel pos, initial vel, status ESCAPED) are discarded by
+            # the caller's where-merge.
+            keep = mask_ref[...]
+            far = 2.0 * escape_r_param
+            rel0 = (
+                rel0[0] * keep + (1.0 - keep) * far,
+                rel0[1] * keep,
+                rel0[2] * keep,
+            )
         a_spin = spin * rs * 0.5  # a = a* M, scalar (SMEM)
         if is_ks:
             # the "vel" planes carry covariant momentum p for the exact
@@ -920,8 +936,15 @@ def build_kernel(
             r2cap = r2 = _vdot(rel, rel)
         return rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh
 
-    def kernel_stateless(params, px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o):
-        rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh = _stateless_trace(params)
+    def kernel_stateless(params, *refs):
+        if masked:
+            mask_ref, *outs = refs
+        else:
+            mask_ref, outs = None, list(refs)
+        px_o, py_o, pz_o, vx_o, vy_o, vz_o, status_o, steps_o = outs
+        rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh = _stateless_trace(
+            params, mask_ref
+        )
         if config.disk:
             is_disk = rel[1] > disk_thresh
             px_o[:] = rel[0] + bh[0]
@@ -1311,6 +1334,8 @@ def build_kernel(
         status_o[:] = st_ref[:]
         steps_o[:] = steps
 
+    if masked and (shade_inline or not use_stateless):
+        raise ValueError("masked ray-gen requires the plain stateless kernel")
     if shade_inline:
         if not use_stateless:
             raise ValueError("shade_inline requires the stateless fast path")
@@ -1390,15 +1415,17 @@ def _pallas_trace(
     unroll: int = 1,
     steps_per_check: int = 1,
     linear: bool = False,
+    mask=None,
 ):
     th, tw = tile
     stateless = not track_steps and (fast_math or config.model != "kerr_lt")
-    linear = linear and stateless  # flat-id ray-gen lives in the stateless flavor
+    linear = linear and stateless and mask is None
     if height * width >= (1 << 24):
         linear = False  # the fp32 pixel-id decode is only exact below 2^24
     kernel, needs_scratch = build_kernel(
         config, max_steps, tile, fast_math, early_exit_every, track_steps,
         unroll, steps_per_check, linear=linear, native_ops=not interpret,
+        masked=mask is not None,
     )
     if linear:
         n_pix = height * width
@@ -1419,16 +1446,23 @@ def _pallas_trace(
         bytes_accessed=hp * wp * 4 * 8,
         transcendentals=hp * wp * max_steps * 2,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [params]
+    if mask is not None:
+        mask = jnp.asarray(mask, jnp.float32)
+        mask = jnp.pad(mask, ((0, hp - height), (0, wp - width)))
+        in_specs.append(block)
+        operands.append(mask)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=[block] * 8,
         out_shape=[f32] * 6 + [i32] * 2,
         scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)] if needs_scratch else [],
         cost_estimate=cost,
         interpret=interpret,
-    )(params)
+    )(*operands)
     if linear:
         outs = [o.reshape(-1)[: height * width].reshape(height, width) for o in outs]
         posx, posy, posz, velx, vely, velz, status, steps = outs
@@ -1569,6 +1603,7 @@ def pallas_trace_image(
     unroll: int = 1,
     steps_per_check: int = 1,
     linear: bool | None = None,
+    mask=None,
 ) -> TraceResult:
     """Trace every pixel of the scene's image with the Pallas kernel.
 
@@ -1576,6 +1611,12 @@ def pallas_trace_image(
     into the kernel. Returns a TraceResult shaped (H, W) — or
     `local_shape` when rendering a row/column band of the full image for
     mesh-sharded rendering (row0/col0 give the band's global origin).
+
+    `mask` (stateless flavors, multires edge fix-up): fp32 (H, W) plane;
+    rays with mask 0 freeze at step 0 with a sentinel position (their
+    outputs are meant to be discarded), and tiles whose rays are ALL
+    masked off exit the integration loop before the first step — pair
+    with a non-zero early_exit_every so the skip actually pays.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1597,4 +1638,5 @@ def pallas_trace_image(
         unroll=unroll,
         steps_per_check=steps_per_check,
         linear=bool(linear),
+        mask=mask,
     )
