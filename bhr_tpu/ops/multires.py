@@ -41,7 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_trace import DEFAULT_EARLY_EXIT_EVERY, pallas_trace_image, pick_tile
+from .pallas_trace import pallas_trace_image, pick_tile
 from .shading import shade_planes_packed
 from .starfield import procedural_background
 from .trace import TraceConfig, TraceResult
@@ -65,15 +65,21 @@ def _shift(plane, s, axis):
 
 
 def _upsample_axis(plane, factor: int, axis: int):
-    """Bilinear x`factor` upsample along one axis, static phases, clamped."""
+    """Bilinear x`factor` upsample along one axis, static phases, clamped.
+
+    CORNER-aligned: the low grid holds samples of full-resolution pixels
+    j*factor (the strided low pass; kernel ray-gen anchors UVs at pixel
+    corners, u = col/W), so full pixel q*factor + p interpolates low
+    pixels q and q+1 with weight p/factor — phase 0 is a bit-exact copy
+    of the low sample."""
     phases = []
     for p in range(factor):
-        x = (p + 0.5) / factor - 0.5  # position in source-texel units
-        base = 0 if x >= 0 else -1
-        frac = jnp.float32(x - base)
-        lo = _shift(plane, base, axis)
-        hi = _shift(plane, base + 1, axis)
-        phases.append(lo * (1.0 - frac) + hi * frac)
+        frac = jnp.float32(p / factor)
+        if p == 0:
+            phases.append(plane)
+            continue
+        hi = _shift(plane, 1, axis)
+        phases.append(plane * (1.0 - frac) + hi * frac)
     stacked = jnp.stack(phases, axis=axis + 1)
     shape = list(plane.shape)
     shape[axis] *= factor
@@ -154,17 +160,30 @@ def render_multires(
     height, width = scene.screen_height, scene.screen_width
     lh = -(-height // divisor)
     lw = -(-width // divisor)
-    low_scene = scene.replace(screen_width=lw, screen_height=lh)
-    # loop knobs: the low pass runs fixed-trip with self-gated turbo (the
-    # headline winner — nothing escapes early in the target scenes); the
-    # fix-up pass MUST keep a non-zero early-exit cadence, since the
-    # all-masked-tile skip happens in the loop condition
+    # turbo sub-steps must divide max_steps or build_kernel silently falls
+    # back to spc=1 — derive the largest compatible setting
+    def _spc(want):
+        for c in (want, 25, 20, 10, 5, 4, 2, 1):
+            if c <= want and scene.max_steps % c == 0:
+                return c
+        return 1
+
+    low_spc = _spc(low_knobs[2])
+    fix_spc = _spc(fix_knobs[2])
+    fix_eee = max(fix_knobs[0], fix_spc)
+    if fix_eee % fix_spc or scene.max_steps % fix_eee:
+        fix_eee = fix_spc  # always a valid cadence (divides max_steps)
+    # the STRIDED low pass traces every divisor-th pixel of the FULL image
+    # (same scene dims in ray-gen), so low pixel (i, j) is exactly full
+    # pixel (i*divisor, j*divisor) for any width/height — no resampling
+    # convention mismatch and no aspect drift for non-dividing sizes
     low = pallas_trace_image(
-        camera, low_scene, config,
+        camera, scene, config,
         tile=tile or pick_tile(lw),
         fast_math=fast_math, interpret=interpret, track_steps=False,
         early_exit_every=low_knobs[0], unroll=low_knobs[1],
-        steps_per_check=low_knobs[2],
+        steps_per_check=low_spc,
+        local_shape=(lh, lw), stride=divisor,
     )
     lvx = low.final_vel[..., 0]
     lvy = low.final_vel[..., 1]
@@ -185,8 +204,8 @@ def render_multires(
         fix = pallas_trace_image(
             camera, scene, config,
             tile=fix_tile, fast_math=fast_math, interpret=interpret,
-            track_steps=False, early_exit_every=max(fix_knobs[0], 1),
-            unroll=fix_knobs[1], steps_per_check=fix_knobs[2],
+            track_steps=False, early_exit_every=fix_eee,
+            unroll=fix_knobs[1], steps_per_check=fix_spc,
             mask=edge,
         )
         em = edge > 0.0

@@ -127,6 +127,7 @@ _P_HF = 24  # float(height) — FULL image height
 _P_ASPECT = 25
 _P_ROW0 = 26  # first global pixel row of this shard (0 on a single device)
 _P_COL0 = 27  # first global pixel column of this shard
+_P_STRIDE = 28  # pixel stride for subsampled ray-gen (multires low pass)
 _P_SIZE = 32
 
 
@@ -179,6 +180,7 @@ def build_kernel(
     linear: bool = False,
     native_ops: bool = False,
     masked: bool = False,
+    strided: bool = False,
 ):
     """Construct the trace kernel for a static configuration.
 
@@ -598,10 +600,19 @@ def build_kernel(
             rows_f = yl + row0.astype(jnp.float32)
             cols_f = xl + col0.astype(jnp.float32)
         else:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + gi * th + row0
-            cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + gj * tw + col0
-            rows_f = rows.astype(jnp.float32)
-            cols_f = cols.astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + gi * th
+            cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + gj * tw
+            if strided:
+                # multires low pass: trace every stride-th FULL-resolution
+                # pixel (wf/hf stay the full image dims), so low pixel j is
+                # exactly full pixel j*stride — the upsample phases then
+                # interpolate between true full-grid samples with no
+                # half-texel convention mismatch
+                stride = params[_P_STRIDE].astype(jnp.int32)
+                rows = rows * stride
+                cols = cols * stride
+            rows_f = (rows + row0).astype(jnp.float32)
+            cols_f = (cols + col0).astype(jnp.float32)
         u = (cols_f / wf - 0.5) * 2.0 * aspect
         v = (rows_f / hf - 0.5) * -2.0
         uf = u * fov_factor
@@ -1336,6 +1347,8 @@ def build_kernel(
 
     if masked and (shade_inline or not use_stateless):
         raise ValueError("masked ray-gen requires the plain stateless kernel")
+    if strided and not use_stateless:
+        raise ValueError("strided ray-gen requires a stateless kernel flavor")
     if shade_inline:
         if not use_stateless:
             raise ValueError("shade_inline requires the stateless fast path")
@@ -1349,7 +1362,8 @@ def build_kernel(
     return kernel, True
 
 
-def build_params(camera, scene, config: TraceConfig, row0=0, col0=0) -> jnp.ndarray:
+def build_params(camera, scene, config: TraceConfig, row0=0, col0=0,
+                 stride=1) -> jnp.ndarray:
     """Pack camera/scene dynamics into the fp32 SMEM params vector.
 
     `row0`/`col0` offset the in-kernel ray-gen for row/column-band sharding
@@ -1387,6 +1401,7 @@ def build_params(camera, scene, config: TraceConfig, row0=0, col0=0) -> jnp.ndar
         jnp.float32(w) / jnp.float32(h),
         jnp.asarray(row0, jnp.float32),
         jnp.asarray(col0, jnp.float32),
+        jnp.asarray(stride, jnp.float32),
     ]
     vals += [jnp.float32(0.0)] * (_P_SIZE - len(vals))
     return jnp.stack([jnp.asarray(x, jnp.float32) for x in vals])
@@ -1398,7 +1413,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll", "steps_per_check", "linear"),
+    static_argnames=("width", "height", "max_steps", "config", "tile", "fast_math", "interpret", "early_exit_every", "track_steps", "unroll", "steps_per_check", "linear", "strided"),
 )
 def _pallas_trace(
     params,
@@ -1416,16 +1431,17 @@ def _pallas_trace(
     steps_per_check: int = 1,
     linear: bool = False,
     mask=None,
+    strided: bool = False,
 ):
     th, tw = tile
     stateless = not track_steps and (fast_math or config.model != "kerr_lt")
-    linear = linear and stateless and mask is None
+    linear = linear and stateless and mask is None and not strided
     if height * width >= (1 << 24):
         linear = False  # the fp32 pixel-id decode is only exact below 2^24
     kernel, needs_scratch = build_kernel(
         config, max_steps, tile, fast_math, early_exit_every, track_steps,
         unroll, steps_per_check, linear=linear, native_ops=not interpret,
-        masked=mask is not None,
+        masked=mask is not None, strided=strided,
     )
     if linear:
         n_pix = height * width
@@ -1604,6 +1620,7 @@ def pallas_trace_image(
     steps_per_check: int = 1,
     linear: bool | None = None,
     mask=None,
+    stride: int = 1,
 ) -> TraceResult:
     """Trace every pixel of the scene's image with the Pallas kernel.
 
@@ -1617,13 +1634,19 @@ def pallas_trace_image(
     outputs are meant to be discarded), and tiles whose rays are ALL
     masked off exit the integration loop before the first step — pair
     with a non-zero early_exit_every so the skip actually pays.
+
+    `stride` > 1 (with `local_shape`): trace every stride-th pixel of the
+    full image — local pixel (i, j) is FULL-image pixel (i*stride + row0,
+    j*stride + col0). The multires low pass (ops/multires.py); ray-gen
+    UVs always reference the full `scene` dims.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     height, width = local_shape or (scene.screen_height, scene.screen_width)
     if tile is None:
         tile = pick_tile(width)
-    params = build_params(camera, scene, config, row0=row0, col0=col0)
+    params = build_params(camera, scene, config, row0=row0, col0=col0,
+                          stride=stride)
     return _pallas_trace(
         params,
         width=width,
@@ -1639,4 +1662,5 @@ def pallas_trace_image(
         steps_per_check=steps_per_check,
         linear=bool(linear),
         mask=mask,
+        strided=stride != 1,
     )

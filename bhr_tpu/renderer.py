@@ -412,7 +412,7 @@ class BlackHoleRenderer:
             camera, scene, self.skybox,
             config=self.config, divisor=divisor,
             texture_filter=self._sample_filter, seed=self.skybox_seed,
-            interpret=self.interpret, fast_math=True, **kw,
+            interpret=self.interpret, fast_math=self.fast_math, **kw,
         )
         self.camera = camera
         self.scene = scene

@@ -28,10 +28,13 @@ def test_upsample_bilinear_reproduces_linear_field():
     plane = 2.0 * x - 3.0 * y + 1.0
     up = np.asarray(upsample_bilinear(jnp.asarray(plane), d, (lh * d, lw * d)))
     yy, xx = np.mgrid[0 : lh * d, 0 : lw * d].astype(np.float32)
-    # full-res pixel j samples the low grid at (j + 0.5)/d - 0.5
-    want = 2.0 * ((xx + 0.5) / d - 0.5) - 3.0 * ((yy + 0.5) / d - 0.5) + 1.0
-    interior = np.s_[d : lh * d - d, d : lw * d - d]
+    # CORNER-aligned: low pixel j holds full pixel j*d (the strided low
+    # pass), so full pixel j samples the low grid at j/d
+    want = 2.0 * (xx / d) - 3.0 * (yy / d) + 1.0
+    interior = np.s_[: lh * d - d, : lw * d - d]  # clamp touches the far edge
     np.testing.assert_allclose(up[interior], want[interior], atol=1e-4)
+    # phase 0 copies the low sample bit-exactly
+    np.testing.assert_array_equal(up[::d, ::d], plane)
 
 
 def test_masked_trace_freezes_skipped_rays_and_matches_kept():
@@ -133,3 +136,28 @@ def test_renderer_multires_method():
     frame = np.asarray(r.render_frame_multires(divisor=2))
     assert frame.shape == (32, 48, 4)
     assert (frame[..., 3] == 255).all()
+
+
+def test_strided_low_pass_matches_full_grid_points():
+    """The strided low pass must trace EXACTLY the full image's every-d-th
+    pixels: same UVs, same trajectories (flat space: no chaos, so the
+    agreement is tight everywhere)."""
+    cam = Camera.default()
+    scene = _scene(96, 64, 60)
+    cfg = TraceConfig(model="flat")
+    full = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=True, track_steps=False,
+    )
+    d = 4
+    low = pallas_trace_image(
+        cam, scene, cfg, interpret=True, fast_math=True, track_steps=False,
+        local_shape=(64 // d, 96 // d), stride=d,
+    )
+    np.testing.assert_allclose(
+        np.asarray(low.final_vel),
+        np.asarray(full.final_vel)[::d, ::d],
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(low.status), np.asarray(full.status)[::d, ::d]
+    )
