@@ -89,11 +89,12 @@ def main():
         skybox = procedural_starfield(2048, 4096, seed=2020)
         texture_filter = texture if texture in ("bilinear", "nearest", "fast") else "fast"
 
+    texsub = int(os.environ.get("BHR_BENCH_TEXSUB", "1"))
     renderer = BlackHoleRenderer(
         width, height, integrator, use_pallas=use_pallas, tile=tile,
         fast_math=fast_math, kernel_knobs=knobs, skybox=skybox,
-        texture_filter=texture_filter, model=model, disk=disk,
-        adaptive=adaptive,
+        texture_filter=texture_filter, texture_subsample=texsub, model=model,
+        disk=disk, adaptive=adaptive,
     )
     import jax.numpy as jnp
 
@@ -122,7 +123,8 @@ def main():
             return c, render_multires(
                 orbit_camera(t), scene, renderer.skybox,
                 config=renderer.config, divisor=multires,
-                texture_filter=renderer._sample_filter, interpret=False,
+                texture_filter=renderer._sample_filter,
+                texture_subsample=texsub, interpret=False,
                 packed=True, fast_math=fast_math,
                 # tile=None: the low pass picks its own tile for the
                 # 1/divisor-wide image (the full-res tuned tile would pad
@@ -157,6 +159,7 @@ def main():
     # the chip's actual per-frame cost.
     repeats = max(1, int(os.environ.get("BHR_BENCH_REPEATS", "2")))
     slope_ms = single_ms = overhead_ms = None
+    all_slopes = []  # every repeat's raw slope, for methodology transparency
     for rep in range(repeats):
         t0 = time.perf_counter()
         run(n_small, 10_000 + 40_000 * rep)
@@ -165,6 +168,7 @@ def main():
         run(n_frames, 20_000 + 40_000 * rep)
         t_large = time.perf_counter() - t0
         s = (t_large - t_small) / (n_frames - n_small) * 1000.0
+        all_slopes.append(round(s, 3))
         # keep only positive (noise-free) slopes; fall back to the last
         # pair's raw numbers if every repeat was noise-corrupted
         if (s > 0 and (slope_ms is None or s < slope_ms)) or (
@@ -176,6 +180,8 @@ def main():
     mray_steps = width * height * max_steps / (slope_ms / 1000.0) / 1e6
     target_ms = 16.0
     suffix = f"_tex-{texture_filter}" if texture else ""
+    if texture and texsub > 1:
+        suffix += f"_texsub{texsub}"
     if multires:
         suffix += f"_multires{multires}"
     if model != "schwarzschild":
@@ -194,6 +200,7 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(target_ms / slope_ms, 3),
                 "value_single_dispatch": round(single_ms, 3),
+                "slopes_ms": all_slopes,
                 "dispatch_overhead_ms": round(overhead_ms, 1),
                 "mray_steps_per_sec": round(mray_steps, 1),
                 "frames": n_frames,

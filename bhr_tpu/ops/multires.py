@@ -42,60 +42,13 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_trace import pallas_trace_image, pick_tile
+from .resample import neighbor_max as _neighbor_max
+from .resample import shift as _shift
+from .resample import upsample_bilinear
 from .shading import shade_planes_packed
 from .starfield import procedural_background
 from .trace import TraceConfig, TraceResult
 from .sampling import sample_equirect_packed, unpack_frame
-
-
-def _shift(plane, s, axis):
-    """plane[clip(i + s)] along `axis` (edge clamp) — concat/slice, no gather."""
-    if s == 0:
-        return plane
-    n = plane.shape[axis]
-    if s == 1:
-        body = jax.lax.slice_in_dim(plane, 1, n, axis=axis)
-        last = jax.lax.slice_in_dim(plane, n - 1, n, axis=axis)
-        return jax.lax.concatenate([body, last], axis)
-    if s == -1:
-        first = jax.lax.slice_in_dim(plane, 0, 1, axis=axis)
-        body = jax.lax.slice_in_dim(plane, 0, n - 1, axis=axis)
-        return jax.lax.concatenate([first, body], axis)
-    raise ValueError(s)
-
-
-def _upsample_axis(plane, factor: int, axis: int):
-    """Bilinear x`factor` upsample along one axis, static phases, clamped.
-
-    CORNER-aligned: the low grid holds samples of full-resolution pixels
-    j*factor (the strided low pass; kernel ray-gen anchors UVs at pixel
-    corners, u = col/W), so full pixel q*factor + p interpolates low
-    pixels q and q+1 with weight p/factor — phase 0 is a bit-exact copy
-    of the low sample."""
-    phases = []
-    for p in range(factor):
-        frac = jnp.float32(p / factor)
-        if p == 0:
-            phases.append(plane)
-            continue
-        hi = _shift(plane, 1, axis)
-        phases.append(plane * (1.0 - frac) + hi * frac)
-    stacked = jnp.stack(phases, axis=axis + 1)
-    shape = list(plane.shape)
-    shape[axis] *= factor
-    return stacked.reshape(shape)
-
-
-def upsample_bilinear(plane, factor: int, out_shape):
-    """(lh, lw) -> bilinear (lh*factor, lw*factor), cropped to out_shape."""
-    up = _upsample_axis(_upsample_axis(plane, factor, 0), factor, 1)
-    return up[: out_shape[0], : out_shape[1]]
-
-
-def _neighbor_max(plane):
-    """3x3 neighborhood max (separable, shift-based)."""
-    m = jnp.maximum(jnp.maximum(_shift(plane, -1, 0), _shift(plane, 1, 0)), plane)
-    return jnp.maximum(jnp.maximum(_shift(m, -1, 1), _shift(m, 1, 1)), m)
 
 
 def deflection_edges(vel_planes, status, threshold: float):
@@ -123,9 +76,9 @@ def deflection_edges(vel_planes, status, threshold: float):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "divisor", "texture_filter", "seed", "edge_fix",
-        "edge_threshold", "fix_tile", "interpret", "fast_math", "tile",
-        "packed", "low_knobs", "fix_knobs",
+        "config", "divisor", "texture_filter", "texture_subsample", "seed",
+        "edge_fix", "edge_threshold", "fix_tile", "interpret", "fast_math",
+        "tile", "packed", "low_knobs", "fix_knobs",
     ),
 )
 def render_multires(
@@ -136,6 +89,7 @@ def render_multires(
     config: TraceConfig = TraceConfig(),
     divisor: int = 3,
     texture_filter: str = "bilinear",
+    texture_subsample: int = 1,
     seed: int = 2020,
     edge_fix: bool = True,
     edge_threshold: float = 0.05,
@@ -155,6 +109,8 @@ def render_multires(
     """
     if config.disk:
         raise ValueError("multires does not support the accretion disk")
+    if scene.debug_mode != 0:
+        raise ValueError("multires does not support debug modes")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     height, width = scene.screen_height, scene.screen_width
@@ -224,6 +180,16 @@ def render_multires(
     )
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
+    elif texture_subsample > 1:
+        # gather-count attack composed with multires: texture color on a
+        # 1/sub grid of the (already interpolated) full-res directions
+        from .sampling import sample_equirect_packed_subsampled
+
+        sub_rgb = sample_equirect_packed_subsampled(
+            skybox, vx, vy, vz, status, texture_subsample,
+            filter=texture_filter,
+        )
+        background = lambda *_: sub_rgb
     else:
         background = functools.partial(
             sample_equirect_packed, skybox, filter=texture_filter

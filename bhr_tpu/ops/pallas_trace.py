@@ -250,7 +250,12 @@ def build_kernel(
     def _shared_div(b):
         """Returns a function a -> a/b. With native_ops, hoists the native
         divide's reciprocal refinement (bit-identical, see `native_ops` in
-        the docstring) so same-denominator division groups pay it once."""
+        the docstring) so same-denominator division groups pay it once.
+
+        PRECONDITION: b > 0 (finite). At b == 0 the hoisted form yields
+        NaN (1 - 0*inf) where a native divide gives inf — every current
+        call site guards its denominator positive (freeze guards / radius
+        floors); new callers must keep that pattern."""
         if native_ops:
             y0 = pl.reciprocal(b, approx=True)
             e = 1.0 - b * y0

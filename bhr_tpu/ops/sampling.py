@@ -210,6 +210,48 @@ def _sample_corner_packed(cp: jnp.ndarray, u, v):
     return tuple(out)
 
 
+def sample_equirect_packed_subsampled(
+    packed_texture, vx, vy, vz, status, sub: int, filter: str = "bilinear"
+):
+    """Texture background sampled on a 1/`sub`-resolution direction grid.
+
+    The gather-count attack for the texture tiers: gathers are the entire
+    texture cost on TPU (~7.4 ns/index, scripts/gather_bench.py), so
+    sampling the equirect map at every `sub`-th FULL-RESOLUTION direction
+    and bilinearly upsampling the resulting color planes cuts the index
+    count sub^2 x. Validity of the approximation: at the benchmark
+    geometry the lensed sky is magnified ~2.8x relative to a 4K texture at
+    1080p, so a sub=2 color grid still samples the texture above its own
+    Nyquist rate wherever the deflection field is smooth (quality gauged by
+    scripts/texture_quality.py SSIM vs the full-res exact-bilinear render,
+    not parity).
+
+    Corner-aligned: low sample (i, j) uses the exact direction of full
+    pixel (i*sub, j*sub), so phase-0 pixels reproduce their full-res color
+    bit-exactly (resample.upsample_bilinear).
+
+    Captured/disk low samples carry frozen/garbage directions; they are
+    excluded from the interpolation by a weight plane (num/den upsample),
+    so the shadow edge gets no color halo — the full-res capture mask
+    (applied downstream in shade_planes_packed) still decides black vs sky
+    per pixel exactly. Pixels whose entire bilinear support is invalid
+    shade black (they are nearly always captured themselves).
+    """
+    from .resample import upsample_bilinear
+    from .trace import STATUS_CAPTURED, STATUS_DISK
+
+    out_shape = vx.shape
+    vxs, vys, vzs = (p[::sub, ::sub] for p in (vx, vy, vz))
+    r, g, b = sample_equirect_packed(packed_texture, vxs, vys, vzs, filter=filter)
+    sl = status[::sub, ::sub]
+    w = ((sl != STATUS_CAPTURED) & (sl != STATUS_DISK)).astype(jnp.float32)
+    den = upsample_bilinear(w, sub, out_shape)
+    inv = (1.0 / jnp.maximum(den, jnp.float32(1e-6))) * (den > 0.0).astype(
+        jnp.float32
+    )
+    return tuple(upsample_bilinear(c * w, sub, out_shape) * inv for c in (r, g, b))
+
+
 FAST_FILTER_UPSAMPLE = 4
 
 

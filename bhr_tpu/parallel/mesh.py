@@ -236,8 +236,9 @@ def render_animation_sharded(
     (dp x sp) mesh is busy with zero hot-loop communication. When
     `with_stats`, a per-frame mean-luminance telemetry scalar is
     psum-reduced over 'sp' (the ICI collective exercising the mesh) and
-    returned alongside the frames (for padded heights the telemetry mean
-    includes the out-of-frame tail rows).
+    returned alongside the frames; band-padding rows past the real image
+    height are masked out of the reduction, so the mean is exact for any
+    height.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -284,8 +285,12 @@ def _animation_program(
             )
             if with_stats:
                 g_chan = ((band >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
-                lum = jnp.mean(g_chan)
-                lum = jax.lax.psum(lum, "sp") / n_sp  # ICI reduction
+                # mask band-padding rows past the real image height so the
+                # telemetry mean is exact for non-dividing heights
+                rows = jax.lax.broadcasted_iota(jnp.int32, band.shape, 0) + row0
+                valid = (rows < scene.screen_height).astype(jnp.float32)
+                denom = jnp.float32(scene.screen_height * scene.screen_width)
+                lum = jax.lax.psum(jnp.sum(g_chan * valid) / denom, "sp")  # ICI reduction
             else:
                 lum = jnp.float32(0.0)
             return carry, (band, lum)

@@ -110,6 +110,7 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         "seed",
         "packed",
         "texture_filter",
+        "texture_subsample",
         "kernel_knobs",
     ),
 )
@@ -129,6 +130,7 @@ def render_image(
     seed: int = 2020,
     packed: bool = False,
     texture_filter: str = "bilinear",
+    texture_subsample: int = 1,
     kernel_knobs: tuple = None,
 ):
     """Pure jittable frame pipeline.
@@ -191,6 +193,21 @@ def render_image(
         )
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
+    elif texture_subsample > 1 and scene.debug_mode == 0:
+        # gather-count attack: sample the texture on a 1/sub grid of the
+        # full-res directions, upsample the color (see sampling module)
+        from .ops.sampling import sample_equirect_packed_subsampled
+
+        sub_rgb = sample_equirect_packed_subsampled(
+            skybox,
+            result.final_vel[..., 0],
+            result.final_vel[..., 1],
+            result.final_vel[..., 2],
+            result.status,
+            texture_subsample,
+            filter=texture_filter,
+        )
+        background = lambda vx, vy, vz: sub_rgb
     else:
         background = functools.partial(
             sample_equirect_packed, skybox, filter=texture_filter
@@ -233,6 +250,7 @@ class BlackHoleRenderer:
         interpret: bool | None = None,
         skybox_seed: int = 2020,
         texture_filter: str = "bilinear",
+        texture_subsample: int = 1,
         kernel_knobs: tuple | None = None,
     ):
         self.context = context or TpuContext.new()
@@ -272,6 +290,13 @@ class BlackHoleRenderer:
                 f"texture_filter must be bilinear/nearest/fast, got {texture_filter!r}"
             )
         self.texture_filter = texture_filter
+        if int(texture_subsample) < 1:
+            raise ValueError("texture_subsample must be >= 1")
+        # >1: texture color sampled on a 1/sub grid of the full-res
+        # directions and bilinearly upsampled (captured samples excluded) —
+        # cuts the dominant gather cost sub^2 x at a sub-texel quality cost
+        # (ops/sampling.sample_equirect_packed_subsampled)
+        self.texture_subsample = int(texture_subsample)
         # the filter the sampler actually runs with: the "fast" tier bakes
         # the bilinear weights into a 4x prefiltered texture at load time
         # (ops/sampling.prefilter_packed_texture) and samples it with ONE
@@ -384,6 +409,7 @@ class BlackHoleRenderer:
             interpret=self.interpret,
             seed=self.skybox_seed,
             texture_filter=self._sample_filter,
+            texture_subsample=self.texture_subsample,
             kernel_knobs=self.kernel_knobs,
         )
         if timestamp_query is not None:
@@ -404,8 +430,8 @@ class BlackHoleRenderer:
         9.43 ms on v5e); not available for disk or debug modes."""
         from .ops.multires import render_multires
 
-        camera = camera or self.camera
-        scene = scene or self.scene
+        camera = camera if camera is not None else self.camera
+        scene = scene if scene is not None else self.scene
         if scene.screen_width != self.width or scene.screen_height != self.height:
             scene = scene.replace(screen_width=self.width, screen_height=self.height)
         frame = render_multires(

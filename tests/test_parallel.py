@@ -131,3 +131,13 @@ def test_sharded_seed_matches_single_device():
         BlackHoleRenderer(64, 32, skybox_seed=7).render_frame(cam, scene)
     )
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_padded_height_luminance_exact():
+    """Telemetry mean must exclude band-padding rows (non-dividing heights)."""
+    scene = SceneParams(screen_width=64, screen_height=30, max_steps=20)
+    mesh = make_mesh(8)  # (2, 4): band_h = 8, so 2 padded rows per frame
+    times = jnp.arange(2, dtype=jnp.float32) / 60.0
+    frames, lums = render_animation_sharded(times, scene, None, mesh)
+    g_mean = np.asarray(frames)[..., 1].astype(np.float32).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(lums), g_mean, rtol=1e-5)

@@ -216,3 +216,83 @@ def test_renderer_texture_filter_modes(small_skybox):
 
     with pytest.raises(ValueError, match="texture_filter"):
         BlackHoleRenderer(8, 8, skybox=small_skybox, texture_filter="cubic")
+
+
+def test_texture_subsample_corner_pixels_exact(small_skybox):
+    """Corner-aligned subsample: every (sub*i, sub*j) pixel reproduces the
+    full-res textured render bit-exactly (upsample phase 0 is a copy and
+    the low grid takes the full-res pixel's own direction)."""
+    from bhr_tpu import BlackHoleRenderer
+
+    full = np.asarray(BlackHoleRenderer(32, 24, skybox=small_skybox).render_frame())
+    for sub in (2, 3):
+        r = BlackHoleRenderer(32, 24, skybox=small_skybox, texture_subsample=sub)
+        f = np.asarray(r.render_frame())
+        np.testing.assert_array_equal(f[::sub, ::sub], full[::sub, ::sub])
+
+
+def test_texture_subsample_smooth_texture_close():
+    """Flat spacetime + smooth gradient texture: the sub=2 color grid must
+    track the full render to within interpolation error (a few u8 levels).
+    """
+    from bhr_tpu import BlackHoleRenderer
+
+    h, w = 64, 128
+    yy, xx = np.meshgrid(
+        np.linspace(0.1, 0.9, h), np.linspace(0.1, 0.9, w), indexing="ij"
+    )
+    tex = np.stack([yy, xx, 0.5 * np.ones_like(yy)], axis=-1).astype(np.float32)
+    full = np.asarray(
+        BlackHoleRenderer(48, 32, model="flat", skybox=tex).render_frame()
+    )
+    sub = np.asarray(
+        BlackHoleRenderer(
+            48, 32, model="flat", skybox=tex, texture_subsample=2
+        ).render_frame()
+    )
+    diff = np.abs(full.astype(int) - sub.astype(int))[..., :3]
+    assert diff.max() <= 3, diff.max()
+
+
+def test_texture_subsample_no_capture_halo(small_skybox):
+    """Captured low samples are excluded from the color interpolation: the
+    mean background brightness of escaped pixels must match the full
+    render closely (no black bleed around the shadow)."""
+    from bhr_tpu import BlackHoleRenderer
+    from bhr_tpu.ops.trace import STATUS_CAPTURED
+
+    full_r = BlackHoleRenderer(32, 24, skybox=small_skybox)
+    full = np.asarray(full_r.render_frame()).astype(np.float64)
+    sub = np.asarray(
+        BlackHoleRenderer(
+            32, 24, skybox=small_skybox, texture_subsample=2
+        ).render_frame()
+    ).astype(np.float64)
+    # escaped-pixel mask from the black shadow of the full render
+    shadow = full[..., :3].sum(-1) == 0
+    esc = ~shadow
+    assert abs(full[esc, :3].mean() - sub[esc, :3].mean()) < 4.0
+
+
+def test_texture_subsample_validates():
+    from bhr_tpu import BlackHoleRenderer
+
+    import pytest
+
+    with pytest.raises(ValueError, match="texture_subsample"):
+        BlackHoleRenderer(8, 8, texture_subsample=0)
+
+
+def test_multires_texture_subsample_runs(small_skybox):
+    from bhr_tpu import Camera, SceneParams
+    from bhr_tpu.ops.multires import render_multires
+    from bhr_tpu.ops.sampling import corner_pack_texture
+
+    scene = SceneParams(screen_width=36, screen_height=24, max_steps=40)
+    cp = corner_pack_texture(jnp.asarray(pack_texture_rgba8(small_skybox)))
+    frame = render_multires(
+        Camera.default(), scene, cp, divisor=2, texture_subsample=2,
+        interpret=True,
+    )
+    assert frame.shape == (24, 36, 4)
+    assert frame[..., 3].min() == 255
