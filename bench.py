@@ -60,14 +60,21 @@ def main():
     integrator = os.environ.get("BHR_BENCH_INTEGRATOR", "euler")
     adaptive = os.environ.get("BHR_BENCH_ADAPTIVE", "0") == "1"
 
+    from bhr_tpu.ops.trace import TraceConfig
+
+    tune_cfg = TraceConfig(
+        integrator=integrator, model=model, adaptive=adaptive, disk=disk
+    )
     if os.environ.get("BHR_BENCH_AUTOTUNE") == "1":
         from bhr_tpu.utils.autotune import autotune
 
-        tuned = autotune(width, height, max_steps, fast_math=fast_math)
+        tuned = autotune(width, height, max_steps, fast_math=fast_math,
+                         config=tune_cfg)
     else:
         from bhr_tpu.utils.autotune import load_tuned
 
-        tuned = load_tuned(width, height, max_steps, fast_math=fast_math)
+        tuned = load_tuned(width, height, max_steps, fast_math=fast_math,
+                           config=tune_cfg)
     if tuned:
         if tile is None:
             tile = tuple(tuned["tile"])
@@ -87,9 +94,12 @@ def main():
         from bhr_tpu.io.skybox import procedural_starfield
 
         skybox = procedural_starfield(2048, 4096, seed=2020)
-        texture_filter = texture if texture in ("bilinear", "nearest", "fast") else "fast"
+        texture_filter = (
+            texture if texture in ("bilinear", "nearest", "luma") else "luma"
+        )
 
-    texsub = int(os.environ.get("BHR_BENCH_TEXSUB", "1"))
+    texsub = os.environ.get("BHR_BENCH_TEXSUB", "1")
+    texsub = texsub if texsub == "checker" else int(texsub)
     renderer = BlackHoleRenderer(
         width, height, integrator, use_pallas=use_pallas, tile=tile,
         fast_math=fast_math, kernel_knobs=knobs, skybox=skybox,
@@ -180,7 +190,7 @@ def main():
     mray_steps = width * height * max_steps / (slope_ms / 1000.0) / 1e6
     target_ms = 16.0
     suffix = f"_tex-{texture_filter}" if texture else ""
-    if texture and texsub > 1:
+    if texture and texsub != 1:
         suffix += f"_texsub{texsub}"
     if multires:
         suffix += f"_multires{multires}"

@@ -76,10 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference hardcodes assets/starmap_2020_4k.exr "
                         "(lib.rs:406-411), which is not distributed")
     p.add_argument("--texture-filter", default="nearest",
-                   choices=["bilinear", "nearest", "fast"],
+                   choices=["bilinear", "nearest", "luma"],
                    help="skybox sampling tier (only with --skybox): nearest = "
-                        "1 gather/pixel (real-time), bilinear = exact 4-gather, "
-                        "fast = prefiltered quarter-weight bilinear")
+                        "1 gather/pixel (real-time), bilinear = exact "
+                        "corner-packed 3-gather, luma = exact-bilinear "
+                        "luminance + subsampled chroma at ~1.25 gathers")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--fast-math", action=argparse.BooleanOptionalAction, default=True,
                    help="approximate rsqrt/reciprocal in the hot loop — matches "
@@ -245,10 +246,14 @@ def main(argv=None) -> int:
     tile = None
     knobs = None
     if not args.oracle:
+        from .ops.trace import TraceConfig
         from .utils.autotune import load_tuned
 
         tuned = load_tuned(args.width, args.height, args.max_steps,
-                           fast_math=args.fast_math)
+                           fast_math=args.fast_math,
+                           config=TraceConfig(
+                               integrator=args.integrator, model=args.model,
+                               adaptive=args.adaptive, disk=args.disk))
         if tuned:
             from .utils.autotune import tuned_knobs
 

@@ -148,13 +148,10 @@ def _cie_xyz_bar(wl_nm):
 
 
 @functools.lru_cache(maxsize=4)
-def blackbody_lut(t_min=LUT_T_MIN, t_max=LUT_T_MAX, steps=LUT_STEPS):
-    """(steps, 3) float32 sRGB-linear colors for temperatures in [t_min, t_max].
-
-    Planck spectrum -> CIE XYZ -> linear sRGB, each color normalized to max
-    channel 1 (hue only; brightness comes from beaming), negative channels
-    clipped.
-    """
+def blackbody_lut_np(t_min=LUT_T_MIN, t_max=LUT_T_MAX, steps=LUT_STEPS):
+    """(steps, 3) float32 numpy LUT — the host-side form (safe to call and
+    cache inside jit traces, unlike a cached jnp array, which would leak a
+    constant tracer)."""
     wl = np.linspace(380e-9, 780e-9, 200)
     wl_nm = wl * 1e9
     xbar, ybar, zbar = _cie_xyz_bar(wl_nm)
@@ -175,7 +172,17 @@ def blackbody_lut(t_min=LUT_T_MIN, t_max=LUT_T_MAX, steps=LUT_STEPS):
     rgb = np.clip(rgb, 0.0, None)
     peak = np.maximum(rgb.max(axis=-1, keepdims=True), 1e-12)
     rgb = rgb / peak
-    return jnp.asarray(rgb, jnp.float32)
+    return rgb.astype(np.float32)
+
+
+def blackbody_lut(t_min=LUT_T_MIN, t_max=LUT_T_MAX, steps=LUT_STEPS):
+    """(steps, 3) float32 sRGB-linear colors for temperatures in [t_min, t_max].
+
+    Planck spectrum -> CIE XYZ -> linear sRGB, each color normalized to max
+    channel 1 (hue only; brightness comes from beaming), negative channels
+    clipped.
+    """
+    return jnp.asarray(blackbody_lut_np(t_min, t_max, steps))
 
 
 def temperature_to_color(t, lut=None, t_min=LUT_T_MIN, t_max=LUT_T_MAX):

@@ -14,8 +14,7 @@ TPU-first design choices (vs the reference's fragment-shader warp):
   * The deflection upsample is GATHER-FREE: for an integer divisor the
     bilinear sample positions fall on `divisor` static phases per axis
     (x_low = (j + 0.5)/d - 0.5), so upsampling is shift-and-blend on
-    whole planes — pure VPU, no per-pixel indexing (the same static-phase
-    identity sampling.prefilter_packed_texture uses).
+    whole planes — pure VPU, no per-pixel indexing (ops/resample.py).
   * Edge re-integration is a MASKED full-resolution kernel pass
     (pallas_trace_image(mask=...)): masked-off rays start outside the
     escape sphere and self-freeze at step 0, and a tile whose rays are
@@ -180,15 +179,35 @@ def render_multires(
     )
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
-    elif texture_subsample > 1:
-        # gather-count attack composed with multires: texture color on a
-        # 1/sub grid of the (already interpolated) full-res directions
-        from .sampling import sample_equirect_packed_subsampled
+    elif texture_filter == "luma":
+        from .sampling import sample_equirect_packed_luma
 
-        sub_rgb = sample_equirect_packed_subsampled(
-            skybox, vx, vy, vz, status, texture_subsample,
-            filter=texture_filter,
+        chroma_sub = (
+            texture_subsample
+            if isinstance(texture_subsample, int) and texture_subsample > 1
+            else 2
         )
+        sub_rgb = sample_equirect_packed_luma(
+            skybox, vx, vy, vz, status, chroma_sub=chroma_sub
+        )
+        background = lambda *_: sub_rgb
+    elif texture_subsample != 1:
+        # gather-count attack composed with multires: texture color on a
+        # subset of the (already interpolated) full-res directions
+        from .sampling import (
+            sample_equirect_packed_checkerboard,
+            sample_equirect_packed_subsampled,
+        )
+
+        if texture_subsample == "checker":
+            sub_rgb = sample_equirect_packed_checkerboard(
+                skybox, vx, vy, vz, status, filter=texture_filter
+            )
+        else:
+            sub_rgb = sample_equirect_packed_subsampled(
+                skybox, vx, vy, vz, status, texture_subsample,
+                filter=texture_filter,
+            )
         background = lambda *_: sub_rgb
     else:
         background = functools.partial(

@@ -69,17 +69,36 @@ from .trace import (
 
 DEFAULT_EARLY_EXIT_EVERY = 64
 
+# Disk-shading constants mirrored from models/disk.py (static in-kernel).
+from ..models.disk import LUT_T_MAX as _DISK_T_MAX  # noqa: E402
+from ..models.disk import LUT_T_MIN as _DISK_T_MIN  # noqa: E402
+from ..models.disk import LUT_STEPS as _DISK_LUT_STEPS  # noqa: E402
+from ..models.disk import T_ISCO as _DISK_T_ISCO  # noqa: E402
+
 
 def monolithic_eligible(config, scene, *, use_pallas, fast_math, skybox,
                         disk_params, tonemap) -> bool:
     """True when the fused trace+shade (monolithic) kernel can produce this
     frame. The single source of truth for the eligibility predicate —
-    renderer.render_image and parallel.mesh both consult it."""
+    renderer.render_image and parallel.mesh both consult it.
+
+    Disk frames (round 3): the FAST tier shades the accretion disk
+    in-kernel — Doppler/redshift/beaming plane math plus a lane-butterfly
+    blackbody-LUT gather (see _lut_gather in build_kernel) — assuming
+    for_scene-derived DiskParams (r_isco/r_outer from the TraceConfig
+    factors, t_isco = models.disk.T_ISCO), which is what the renderer
+    always constructs. The exact tier keeps the staged LUT epilogue
+    (bit-parity contract)."""
+    disk_ok = (
+        (not config.disk and disk_params is None)
+        # fused disk: fast tier only, and the LUT butterfly needs the
+        # stateless kernel flavors
+        or (config.disk and fast_math)
+    )
     return (
         use_pallas
         and skybox is None
-        and disk_params is None
-        and not config.disk
+        and disk_ok
         and config.integrator in ("euler", "rk4")
         # exact tier fuses too (round 2): in-kernel shading reuses the
         # identical starfield ops and a true round-half-even quantizer, so
@@ -91,14 +110,61 @@ def monolithic_eligible(config, scene, *, use_pallas, fast_math, skybox,
     )
 
 
-def pick_tile(width: int, height: int = 0) -> tuple[int, int]:
-    """Pick a (8, W) kernel tile for an image width.
+@functools.lru_cache(maxsize=1)
+def _autotune_cache_entries():
+    """Parsed .bhr_autotune.json entries: (device, w, h, fast, extra, tile)."""
+    import json
 
-    Measured on v5e (1080p, fused fast kernel): per-pixel throughput rises
-    with tile width up to (8, 640) and falls beyond; padding the image to a
-    tile multiple costs proportionally. Minimize padded_width * cost(tile).
+    try:
+        cache = json.load(open(".bhr_autotune.json"))
+    except Exception:
+        return ()
+    out = []
+    for k, v in cache.items():
+        try:
+            dev, shape, _steps, fast, *cfg = k.split("|")
+            w, h = shape.split("x")
+            out.append(
+                (dev, int(w), int(h), fast == "fast=True", bool(cfg),
+                 tuple(v["tile"]))
+            )
+        except Exception:
+            continue
+    return tuple(out)
+
+
+def pick_tile(width: int, height: int = 0, fast_math=None) -> tuple[int, int]:
+    """Pick a (8, W) kernel tile for an image shape.
+
+    Consults the on-device autotune cache first (utils/autotune.py sidecar;
+    nearest measured shape for this device — real measurements beat any
+    static model), falling back to the v5e-measured cost table: per-pixel
+    throughput rises with tile width up to (8, 640) and falls beyond, and
+    padding the image to a tile multiple costs proportionally (every
+    candidate has sublane height 8, so `height` only matters through the
+    cache lookup). Minimize padded_width * cost(tile).
     """
-    del height
+    import math
+
+    try:
+        dev = jax.devices()[0].device_kind
+    except Exception:
+        dev = None
+    best = None
+    for d, w, h, fast, has_cfg, tile in _autotune_cache_entries():
+        if d != dev:
+            continue
+        if fast_math is not None and fast != bool(fast_math):
+            continue
+        dist = (
+            abs(math.log(max(w, 1) / max(width, 1)))
+            + 0.1 * abs(math.log(max(h, 1) / max(height or h, 1)))
+            + (0.05 if has_cfg else 0.0)  # prefer default-physics entries
+        )
+        if best is None or dist < best[0]:
+            best = (dist, tile)
+    if best is not None and best[0] < 0.7:  # within ~2x of a measured shape
+        return best[1]
     costs = {640: 1.0, 512: 1.05, 384: 1.15, 256: 1.4, 128: 2.0}
     best, best_cost = 640, float("inf")
     for tw, c in costs.items():
@@ -128,6 +194,7 @@ _P_ASPECT = 25
 _P_ROW0 = 26  # first global pixel row of this shard (0 on a single device)
 _P_COL0 = 27  # first global pixel column of this shard
 _P_STRIDE = 28  # pixel stride for subsampled ray-gen (multires low pass)
+_P_TISCO = 29  # disk inner-edge temperature (models/disk.py T_ISCO)
 _P_SIZE = 32
 
 
@@ -989,17 +1056,118 @@ def build_kernel(
         vz_o[:] = vel[2]
         steps_o[:] = jnp.zeros((th, tw), jnp.int32)
 
-    def kernel_monolithic(params, frame_o):
+    def _lut_scalar_lerp(lut_ref, t_cl, n):
+        """Piecewise-linear blackbody color from an SMEM scalar LUT.
+
+        Mosaic has no general in-kernel gather (a per-lane roll "butterfly"
+        does not compose — measured 2% agreement in
+        scripts/lut_butterfly_probe.py), but the blackbody locus is a
+        SMOOTH curve, so a small LUT evaluates exactly as a sum of masked
+        linear segments over SMEM scalars:
+
+            c = sum_e [i0 == e] * (C[e] + frac * (C[e+1] - C[e]))
+
+        — ~9 VPU ops per entry, once per PIXEL (vs ~15 ms/frame for the
+        two XLA LUT gathers of the staged epilogue at 1080p). lut_ref is
+        channel-major fp32[3 * n] in SMEM; t_cl is the clipped fractional
+        index plane in [0, n - 1]."""
+        i0f = jnp.floor(t_cl)
+        frac = t_cl - i0f
+        zero = jnp.zeros_like(t_cl)
+        out = [zero, zero, zero]
+        for e in range(n):
+            m = (i0f == float(e)).astype(jnp.float32)
+            mf = m * frac
+            for c in range(3):
+                c0 = lut_ref[c * n + e]
+                c1 = lut_ref[c * n + min(e + 1, n - 1)]
+                out[c] = out[c] + m * c0 + mf * (c1 - c0)
+        return out
+
+    def _shade_disk(params, rel, vel, lut_ref, rgb, disk_thresh):
+        """In-kernel accretion-disk emission on component planes.
+
+        Plane transcription of models/disk.py disk_emission (reference
+        formulation: docs/ROADMAP.md:285-470): Keplerian beta, Doppler x
+        gravitational g-factor, T(r) ~ r^-3/4 (computed as
+        rsqrt(x) * rsqrt(sqrt(x)) — no pow in-kernel), blackbody color via
+        the butterfly LUT (10-bit-quantized channels), beaming 1/g^3.
+        Fast-math tier only; the exact tier keeps the staged epilogue."""
+        rs = params[_P_RS]
+        r_isco = params[_P_RISCO]
+        r_outer = params[_P_ROUTER]
+        t_isco = params[_P_TISCO]
+        is_disk = rel[1] > disk_thresh
+        hx, hz = rel[0], rel[2]
+        dr2 = hx * hx + hz * hz
+        inv_dr = jax.lax.rsqrt(jnp.maximum(dr2, 1e-12))
+        dr = dr2 * inv_dr
+        m = rs * 0.5
+        beta2 = jnp.clip(m * inv_dr, 0.0, 0.81)
+        beta = jnp.sqrt(beta2)
+        # unit tangent (z, 0, -x)/dr dotted with the (unit) ray direction
+        cos_t = (hz * vel[0] - hx * vel[2]) * inv_dr
+        doppler = (1.0 - beta * cos_t) * jax.lax.rsqrt(1.0 - beta2)
+        grav_emit = jnp.sqrt(
+            jnp.clip(
+                1.0
+                - rs * pl.reciprocal(jnp.maximum(dr, 1.001 * rs), approx=True),
+                1e-4,
+                1.0,
+            )
+        )
+        # observer redshift: scalar from SMEM camera/bh
+        ox = params[_P_CAM] - params[_P_BH]
+        oy = params[_P_CAM + 1] - params[_P_BH + 1]
+        oz = params[_P_CAM + 2] - params[_P_BH + 2]
+        obs_r = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        grav_obs = jnp.sqrt(
+            jnp.clip(1.0 - rs / jnp.maximum(obs_r, 1.001 * rs), 1e-4, 1.0)
+        )
+        gfac = jnp.maximum(doppler * (grav_emit / grav_obs), 1e-3)
+        inv_g = pl.reciprocal(gfac, approx=True)
+        # scalar denominators: plain scalar divides (pl.reciprocal only
+        # lowers for vectors)
+        x = jnp.maximum(dr * (1.0 / r_isco), 1e-6)
+        t_emit = t_isco * (jax.lax.rsqrt(x) * jax.lax.rsqrt(jnp.sqrt(x)))
+        t_obs = t_emit * inv_g
+        beaming = inv_g * inv_g * inv_g
+        rel_t = t_obs * jnp.float32(1.0 / _DISK_T_ISCO)
+        edge = jnp.clip((r_outer - dr) * (1.0 / (r_outer - r_isco)), 0.0, 1.0)
+        intensity = jnp.clip(beaming * rel_t * rel_t * edge, 0.0, 4.0)
+        n = _DISK_KERNEL_LUT_STEPS
+        t_cl = jnp.clip(
+            (t_obs - _DISK_T_MIN)
+            * jnp.float32((n - 1) / (_DISK_T_MAX - _DISK_T_MIN)),
+            0.0,
+            float(n - 1),
+        )
+        color = _lut_scalar_lerp(lut_ref, t_cl, n)
+        return tuple(
+            jnp.where(is_disk, c * intensity, base)
+            for c, base in zip(color, rgb)
+        )
+
+    def kernel_monolithic(params, *refs):
         """Trace + shade fused in one kernel: a single packed-u32 RGBA
         output plane per tile (analytic cube-hash background; captured rays
-        black). Skips ~8 HBM output planes and the separate XLA shading
-        dispatch. The exact tier quantizes with a true round-half-even
-        sequence and where-masks, keeping frames bit-identical to the
-        staged epilogue's jnp.round / jnp.where."""
+        black; with config.disk, in-kernel relativistic disk emission via
+        the butterfly LUT — fast tier only). Skips ~8 HBM output planes and
+        the separate XLA shading dispatch. The exact tier quantizes with a
+        true round-half-even sequence and where-masks, keeping frames
+        bit-identical to the staged epilogue's jnp.round / jnp.where."""
         from .starfield import procedural_background
 
-        rel, vel, r2, r2cap, bh, cap2, esc2, _ = _stateless_trace(params)
+        if config.disk:
+            lut_ref, frame_o = refs
+        else:
+            (frame_o,) = refs
+        rel, vel, r2, r2cap, bh, cap2, esc2, disk_thresh = _stateless_trace(params)
         r, g, b = procedural_background(vel[0], vel[1], vel[2], seed=shade_seed)
+        if config.disk:
+            r, g, b = _shade_disk(
+                params, rel, vel, lut_ref, (r, g, b), disk_thresh
+            )
         captured = r2cap < cap2  # == (status == STATUS_CAPTURED), see below
         if fast_math:
             live = (~captured).astype(jnp.float32)
@@ -1357,10 +1525,10 @@ def build_kernel(
     if shade_inline:
         if not use_stateless:
             raise ValueError("shade_inline requires the stateless fast path")
-        if config.disk:
-            # the monolithic kernel shades in-kernel with the analytic
-            # background only; disk emission needs the LUT epilogue
-            raise ValueError("shade_inline cannot render the accretion disk")
+        if config.disk and not fast_math:
+            # the exact tier's disk parity contract lives in the staged LUT
+            # epilogue; only the fast tier shades the disk in-kernel
+            raise ValueError("shade_inline disk requires fast_math")
         return kernel_monolithic, False
     if use_stateless:
         return kernel_stateless, False  # (kernel_fn, needs_status_scratch)
@@ -1407,6 +1575,7 @@ def build_params(camera, scene, config: TraceConfig, row0=0, col0=0,
         jnp.asarray(row0, jnp.float32),
         jnp.asarray(col0, jnp.float32),
         jnp.asarray(stride, jnp.float32),
+        jnp.float32(_DISK_T_ISCO),
     ]
     vals += [jnp.float32(0.0)] * (_P_SIZE - len(vals))
     return jnp.stack([jnp.asarray(x, jnp.float32) for x in vals])
@@ -1414,6 +1583,27 @@ def build_params(camera, scene, config: TraceConfig, row0=0, col0=0,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# in-kernel blackbody LUT resolution: the locus is smooth, so 128 linear
+# segments track the staged 512-entry LUT to well under a u8 level
+_DISK_KERNEL_LUT_STEPS = 128
+
+
+@functools.lru_cache(maxsize=2)
+def _disk_lut_smem_np():
+    """Channel-major fp32[3 * N] blackbody LUT for the in-kernel scalar-lerp
+    (see _lut_scalar_lerp). Pure numpy so the cache holds no tracers."""
+    import numpy as np
+
+    from ..models.disk import blackbody_lut_np
+
+    lut = blackbody_lut_np(steps=_DISK_KERNEL_LUT_STEPS)  # (N, 3)
+    return np.ascontiguousarray(lut.T.reshape(-1)).astype(np.float32)
+
+
+def _disk_lut_smem() -> jnp.ndarray:
+    return jnp.asarray(_disk_lut_smem_np())
 
 
 @functools.partial(
@@ -1545,15 +1735,20 @@ def _pallas_render_mono(
         bytes_accessed=hp * wp * 4,
         transcendentals=hp * wp * max_steps * 2,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [params]
+    if config.disk:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(_disk_lut_smem())
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint32),
         cost_estimate=cost,
         interpret=interpret,
-    )(params)
+    )(*operands)
     if linear:
         return out.reshape(-1)[: height * width].reshape(height, width)
     return out[:height, :width]
@@ -1578,10 +1773,12 @@ def pallas_render_packed(
 ):
     """Monolithic path: trace + analytic shading fused in one Pallas
     kernel -> packed u32 (H, W) frame. Requires the stateless-kernel
-    conditions (euler/rk4, no disk, no step tracking, procedural
-    background, passthrough tonemap; either math tier — the exact tier
-    shades with where-masks and a bit-true round-half-even); callers fall
-    back to pallas_trace_image + the XLA epilogue otherwise."""
+    conditions (euler/rk4, no step tracking, procedural background,
+    passthrough tonemap; either math tier — the exact tier shades with
+    where-masks and a bit-true round-half-even). config.disk additionally
+    fuses the relativistic disk emission in-kernel (fast tier only,
+    butterfly-LUT blackbody colors, for_scene-derived DiskParams); callers
+    fall back to pallas_trace_image + the XLA epilogue otherwise."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     height, width = local_shape or (scene.screen_height, scene.screen_width)

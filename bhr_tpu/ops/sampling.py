@@ -252,57 +252,187 @@ def sample_equirect_packed_subsampled(
     return tuple(upsample_bilinear(c * w, sub, out_shape) * inv for c in (r, g, b))
 
 
-FAST_FILTER_UPSAMPLE = 4
+def luma_pack_texture(packed: jnp.ndarray):
+    """Packed-u32 (H, W) equirect texture -> the "luma" tier tables:
+    (corner-packed luma (H+1, W) u32, chroma (H, W) u32).
 
+    The quality insight behind the tier: in a star-map texture all the
+    SSIM-relevant structure lives in luminance — chroma is smooth. So:
 
-def prefilter_packed_texture(packed: jnp.ndarray, factor: int = FAST_FILTER_UPSAMPLE):
-    """Upsample a packed-u32 equirect texture by `factor` with the exact
-    Repeat-U/Clamp-V bilinear filter — entirely gather-free (the resample
-    positions form `factor` static phases per axis, so each output phase is
-    one static shift-and-blend over the whole plane).
+      * luma L = round(mean(R, G, B)) is corner-packed exactly like
+        corner_pack_texture (all four bilinear corner texels of L in one
+        word, Repeat-U/Clamp-V baked in) — EXACT bilinear luminance costs
+        ONE gather per pixel;
+      * chroma (R - L, G - L, B - L), three 9-bit biased ints in one u32,
+        is sampled nearest on a subsampled screen grid and upsampled
+        (sample_equirect_packed_luma) — smooth content, so the subsample
+        is visually free.
 
-    Nearest sampling of the result equals bilinear sampling of the original
-    with the fractional weights quantized to 1/factor — the "fast" texture
-    tier: ONE gather per pixel instead of four, at sub-texel positional
-    quantization (invisible for star fields; worst case a hard one-texel
-    edge shifts by 1/(2*factor) texel). Memory cost: factor^2 x (a 4K
-    texture becomes 512 MB in HBM at factor 4)."""
-    h, w = packed.shape
+    Net: bilinear-luminance-exact sampling at ~1.25 gathers/pixel vs 3 for
+    full corner-packed bilinear and 1 for nearest. Built gather-free.
+    """
     r, g, b = _unpack_rgb(packed)
-    a = (packed >> 24).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    li = jnp.round((r + g + b) * jnp.float32(255.0 / 3.0)).astype(jnp.int32)
+    lq = li.astype(jnp.uint32)
 
-    def up_axis(plane, axis, wrap):
-        n = plane.shape[axis]
-        phases = []
-        for p in range(factor):
-            x = (p + 0.5) / factor - 0.5  # position in source texel units
-            base = 0 if x >= 0 else -1  # floor(x) for |x| < 1
-            frac = jnp.float32(x - base)
-            lo = jnp.roll(plane, -base, axis=axis)
-            hi = jnp.roll(plane, -(base + 1), axis=axis)
-            if not wrap:  # ClampToEdge: un-wrap the rolled border rows
-                if base < 0:
-                    first = jax.lax.index_in_dim(plane, 0, axis, keepdims=True)
-                    lo = jax.lax.concatenate([first, jax.lax.slice_in_dim(plane, 0, n - 1, axis=axis)], axis)
-                last = jax.lax.index_in_dim(plane, n - 1, axis, keepdims=True)
-                if base + 1 >= 1:
-                    hi = jax.lax.concatenate([jax.lax.slice_in_dim(plane, 1, n, axis=axis), last], axis)
-                elif base + 1 <= 0:
-                    hi = plane
-            out_p = lo * (1.0 - frac) + hi * frac
-            phases.append(out_p)
-        stacked = jnp.stack(phases, axis=axis + 1)  # (.., n, factor, ..)
-        new_shape = list(plane.shape)
-        new_shape[axis] = n * factor
-        return stacked.reshape(new_shape)
+    h, w = packed.shape
+    c = lq & jnp.uint32(0xFF)
+    right = jnp.roll(c, -1, axis=1)  # x1 = (x0 + 1) mod W: Repeat-U
+    down = jnp.concatenate([c[1:], c[h - 1 : h]], axis=0)  # Clamp-V
+    down_right = jnp.roll(down, -1, axis=1)
+    core = c | (right << 8) | (down << 16) | (down_right << 24)
+    top = c[0:1] | (right[0:1] << 8) | (c[0:1] << 16) | (right[0:1] << 24)
+    luma_cp = jnp.concatenate([top, core], axis=0)
 
-    planes = []
-    for plane in (r, g, b, a):
-        plane = up_axis(plane, 1, wrap=True)   # U: Repeat
-        plane = up_axis(plane, 0, wrap=False)  # V: ClampToEdge
-        planes.append(plane)
-    q = lambda c: jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint32)
-    return q(planes[0]) | (q(planes[1]) << 8) | (q(planes[2]) << 16) | (q(planes[3]) << 24)
+    def chan(x):
+        q = jnp.round(x * 255.0).astype(jnp.int32)
+        return (q - li + 256).astype(jnp.uint32)  # 9-bit biased
+
+    chroma = chan(r) | (chan(g) << 9) | (chan(b) << 18)
+    return luma_cp, chroma
+
+
+def _equirect_uv(dx, dy, dz):
+    """Direction planes -> equirect (u, v) in [0, 1] (wgsl:93-98 mapping)."""
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    u = 0.5 + jnp.arctan2(dz, dx) / jnp.float32(6.28318530718)
+    v = 0.5 - jnp.arcsin(jnp.clip(dy * inv, -1.0, 1.0)) / jnp.float32(3.14159265359)
+    return u, v
+
+
+def sample_equirect_packed_luma(tex_pair, vx, vy, vz, status, chroma_sub: int = 2):
+    """The "luma" texture tier sampler (see luma_pack_texture).
+
+    Exact bilinear LUMINANCE per pixel (one corner-packed gather) plus
+    nearest-sampled chroma on a corner-aligned 1/chroma_sub screen grid,
+    upsampled with captured/disk samples excluded. Returns (r, g, b)
+    planes.
+    """
+    from .resample import upsample_bilinear
+    from .trace import STATUS_CAPTURED, STATUS_DISK
+
+    luma_cp, chroma = tex_pair
+    h = luma_cp.shape[0] - 1
+    w = luma_cp.shape[1]
+    out_shape = vx.shape
+
+    # exact bilinear luma, full resolution: one gather per pixel
+    u, v = _equirect_uv(vx, vy, vz)
+    x0, y0f, fx, fy = _footprint(u, v, w, h)
+    row = jnp.clip(y0f + 1, 0, h)
+    word = jnp.take(luma_cp.reshape(-1), row * w + x0)
+    s = jnp.float32(1.0 / 255.0)
+    t00 = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    t11 = (word >> 24).astype(jnp.float32) * s
+    luma = _lerp2d(t00, t10, t01, t11, fx, fy)
+
+    # nearest chroma on the subsampled grid (smooth content)
+    sub = max(int(chroma_sub), 1)
+    us, vs = (p[::sub, ::sub] for p in (u, v))
+    xn = jnp.mod(jnp.floor(us * w).astype(jnp.int32), w)
+    yn = jnp.clip(jnp.floor(vs * h).astype(jnp.int32), 0, h - 1)
+    cword = jnp.take(chroma.reshape(-1), yn * w + xn)
+
+    def cchan(sh):
+        q = ((cword >> sh) & jnp.uint32(0x1FF)).astype(jnp.int32) - 256
+        return q.astype(jnp.float32) * s
+
+    sl = status[::sub, ::sub]
+    wt = ((sl != STATUS_CAPTURED) & (sl != STATUS_DISK)).astype(jnp.float32)
+    if sub == 1:
+        return tuple(luma + cchan(sh) for sh in (0, 9, 18))
+    den = upsample_bilinear(wt, sub, out_shape)
+    inv = (1.0 / jnp.maximum(den, jnp.float32(1e-6))) * (den > 0.0).astype(
+        jnp.float32
+    )
+    return tuple(
+        luma + upsample_bilinear(cchan(sh) * wt, sub, out_shape) * inv
+        for sh in (0, 9, 18)
+    )
+
+
+def _interleave(a, b, axis):
+    """Elementwise interleave of two same-shape planes along `axis`."""
+    st = jnp.stack([a, b], axis=axis + 1)
+    sh = list(a.shape)
+    sh[axis] *= 2
+    return st.reshape(sh)
+
+
+def _pad_to(plane, shape):
+    return jnp.pad(
+        plane, ((0, shape[0] - plane.shape[0]), (0, shape[1] - plane.shape[1]))
+    )
+
+
+def sample_equirect_packed_checkerboard(
+    packed_texture, vx, vy, vz, status, filter: str = "bilinear"
+):
+    """Texture background gathered for HALF the pixels (checker pattern).
+
+    The quality-optimal half-index-count scheme: pixels with (i + j) even
+    sample the texture with their exact full-res direction; each hole
+    (i + j odd) reconstructs from its four DISTANCE-1 axis neighbors — all
+    of which are sampled. Against the 1/sub-grid scheme
+    (sample_equirect_packed_subsampled, 2 px interpolation span) the 1 px
+    span roughly quarters the peak attenuation of point stars, at 2x the
+    gather count (half of full instead of a quarter).
+
+    Captured/disk samples are excluded by weight; sampled pixels keep their
+    exact color bit-for-bit (the downstream capture mask blacks out
+    captured pixels regardless).
+    """
+    from .resample import shift
+    from .trace import STATUS_CAPTURED, STATUS_DISK
+
+    h, w = vx.shape
+    he, we = (h + 1) // 2, (w + 1) // 2  # even-row / even-col counts
+    ho, wo = h // 2, w // 2
+
+    def gather(sl_r, sl_c):
+        planes = tuple(p[sl_r, sl_c] for p in (vx, vy, vz))
+        return sample_equirect_packed(packed_texture, *planes, filter=filter)
+
+    ev = slice(0, None, 2)
+    od = slice(1, None, 2)
+    rgb_e = gather(ev, ev)  # even rows, even cols: (he, we)
+    rgb_o = gather(od, od)  # odd rows, odd cols: (ho, wo)
+    valid = (status != STATUS_CAPTURED) & (status != STATUS_DISK)
+    w_e = valid[ev, ev].astype(jnp.float32)
+    w_o = valid[od, od].astype(jnp.float32)
+
+    def weave(ce, co):
+        """(he, we) even-set + (ho, wo) odd-set planes -> (h, w) with zeros
+        at the holes."""
+        co = _pad_to(co, (he, we))
+        z = jnp.zeros((he, we), jnp.float32)
+        rows_e = _interleave(ce, z, 1)  # even rows: samples at even cols
+        rows_o = _interleave(z, co, 1)  # odd rows: samples at odd cols
+        return _interleave(rows_e, rows_o, 0)[:h, :w]
+
+    ws = weave(w_e, w_o)
+    den = (
+        shift(ws, -1, 0) + shift(ws, 1, 0) + shift(ws, -1, 1) + shift(ws, 1, 1)
+    )
+    inv = (1.0 / jnp.maximum(den, jnp.float32(1e-6))) * (den > 0.0).astype(
+        jnp.float32
+    )
+    # static checkerboard: 1 at sampled positions
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    hole = ((ii + jj) & 1).astype(jnp.float32)
+    out = []
+    for k in range(3):
+        s = weave(rgb_e[k] * w_e, rgb_o[k] * w_o)
+        n4 = shift(s, -1, 0) + shift(s, 1, 0) + shift(s, -1, 1) + shift(s, 1, 1)
+        # sampled positions keep their exact color (even invalid ones — the
+        # downstream capture mask owns those pixels); holes take the
+        # valid-neighbor mean
+        full = weave(rgb_e[k], rgb_o[k])
+        out.append(full * (1.0 - hole) + hole * n4 * inv)
+    return tuple(out)
 
 
 def pack_rgba8_planes(r, g, b, alpha: float = 1.0) -> jnp.ndarray:

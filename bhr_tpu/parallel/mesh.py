@@ -120,6 +120,20 @@ def _render_band(
         )
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
+    elif texture_filter == "luma" and scene.debug_mode == 0:
+        # luma tier per band; the chroma subsample grid anchors at the
+        # band's first row, so chroma phases differ from a single-device
+        # render by < 1 px of chroma smoothing (luma is exact either way)
+        from ..ops.sampling import sample_equirect_packed_luma
+
+        sub_rgb = sample_equirect_packed_luma(
+            skybox,
+            result.final_vel[..., 0],
+            result.final_vel[..., 1],
+            result.final_vel[..., 2],
+            result.status,
+        )
+        background = lambda vx, vy, vz: sub_rgb
     else:
         background = functools.partial(
             sample_equirect_packed, skybox, filter=texture_filter

@@ -193,20 +193,48 @@ def render_image(
         )
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
-    elif texture_subsample > 1 and scene.debug_mode == 0:
-        # gather-count attack: sample the texture on a 1/sub grid of the
-        # full-res directions, upsample the color (see sampling module)
-        from .ops.sampling import sample_equirect_packed_subsampled
+    elif texture_filter == "luma" and scene.debug_mode == 0:
+        # luma tier: exact-bilinear luminance per pixel, chroma on a
+        # subsampled grid (texture_subsample, default 2)
+        from .ops.sampling import sample_equirect_packed_luma
 
-        sub_rgb = sample_equirect_packed_subsampled(
+        chroma_sub = (
+            texture_subsample
+            if isinstance(texture_subsample, int) and texture_subsample > 1
+            else 2
+        )
+        sub_rgb = sample_equirect_packed_luma(
             skybox,
             result.final_vel[..., 0],
             result.final_vel[..., 1],
             result.final_vel[..., 2],
             result.status,
-            texture_subsample,
-            filter=texture_filter,
+            chroma_sub=chroma_sub,
         )
+        background = lambda vx, vy, vz: sub_rgb
+    elif texture_subsample != 1 and scene.debug_mode == 0:
+        # gather-count attack: sample the texture on a subset of the
+        # full-res directions, reconstruct the rest (see sampling module);
+        # "checker" = half-count checkerboard, int sub = 1/sub^2 grid
+        from .ops.sampling import (
+            sample_equirect_packed_checkerboard,
+            sample_equirect_packed_subsampled,
+        )
+
+        planes = (
+            result.final_vel[..., 0],
+            result.final_vel[..., 1],
+            result.final_vel[..., 2],
+            result.status,
+        )
+        if texture_subsample == "checker":
+            sub_rgb = sample_equirect_packed_checkerboard(
+                skybox, *planes, filter=texture_filter
+            )
+        else:
+            sub_rgb = sample_equirect_packed_subsampled(
+                skybox, *planes, texture_subsample, filter=texture_filter
+            )
         background = lambda vx, vy, vz: sub_rgb
     else:
         background = functools.partial(
@@ -269,7 +297,11 @@ class BlackHoleRenderer:
             # elsewhere (it vectorizes well on CPU and is the numerics oracle).
             use_pallas = self.context.platform == "tpu"
         self.use_pallas = bool(use_pallas)
-        self.tile = tuple(tile) if tile is not None else pick_tile(self.width)
+        self.tile = (
+            tuple(tile)
+            if tile is not None
+            else pick_tile(self.width, self.height, fast_math)
+        )
         self.kernel_knobs = tuple(kernel_knobs) if kernel_knobs else None
         self.fast_math = bool(fast_math)
         self.tonemap = tonemap
@@ -285,24 +317,31 @@ class BlackHoleRenderer:
         # skybox: None -> analytic procedural star field (gather-free fast
         # path); a path/array -> decode + pack + upload (the analog of
         # load_texture_from_file + queue.write_texture, lib.rs:208-267)
-        if texture_filter not in ("bilinear", "nearest", "fast"):
+        if texture_filter == "fast":
             raise ValueError(
-                f"texture_filter must be bilinear/nearest/fast, got {texture_filter!r}"
+                "the 'fast' prefiltered tier was removed (strictly inside "
+                "the speed/quality frontier — 40 ms and a 512 MB table vs "
+                "nearest's 24 ms); use 'luma' (bilinear-exact luminance at "
+                "~nearest cost) instead"
+            )
+        if texture_filter not in ("bilinear", "nearest", "luma"):
+            raise ValueError(
+                f"texture_filter must be bilinear/nearest/luma, got {texture_filter!r}"
             )
         self.texture_filter = texture_filter
-        if int(texture_subsample) < 1:
-            raise ValueError("texture_subsample must be >= 1")
-        # >1: texture color sampled on a 1/sub grid of the full-res
-        # directions and bilinearly upsampled (captured samples excluded) —
-        # cuts the dominant gather cost sub^2 x at a sub-texel quality cost
-        # (ops/sampling.sample_equirect_packed_subsampled)
-        self.texture_subsample = int(texture_subsample)
-        # the filter the sampler actually runs with: the "fast" tier bakes
-        # the bilinear weights into a 4x prefiltered texture at load time
-        # (ops/sampling.prefilter_packed_texture) and samples it with ONE
-        # nearest gather per pixel — the gather count, not the texture size,
-        # is the entire sampling cost on TPU
-        self._sample_filter = "nearest" if texture_filter != "bilinear" else "bilinear"
+        # int > 1: texture color sampled on a 1/sub grid of the full-res
+        # directions and bilinearly upsampled (gather cost / sub^2);
+        # "checker": half the pixels sampled in a checkerboard, holes
+        # reconstructed from distance-1 neighbors (gather cost / 2, the
+        # star-preserving quality point). Captured samples excluded either
+        # way (ops/sampling).
+        if texture_subsample == "checker":
+            self.texture_subsample = "checker"
+        elif int(texture_subsample) < 1:
+            raise ValueError("texture_subsample must be >= 1 or 'checker'")
+        else:
+            self.texture_subsample = int(texture_subsample)
+        self._sample_filter = texture_filter
         if skybox is None:
             self.skybox = None
         else:
@@ -310,17 +349,19 @@ class BlackHoleRenderer:
             packed = jax.device_put(
                 pack_texture_rgba8(tex), self.context.device
             )
-            if texture_filter == "fast":
-                from .ops.sampling import prefilter_packed_texture
-
-                packed = jax.jit(prefilter_packed_texture)(packed)
-            elif texture_filter == "bilinear":
+            if texture_filter == "bilinear":
                 # exact bilinear at 3 gathers/pixel instead of 4: each
                 # channel plane packs the full 4-corner footprint per word
                 # (ops/sampling.corner_pack_texture)
                 from .ops.sampling import corner_pack_texture
 
                 packed = jax.jit(corner_pack_texture)(packed)
+            elif texture_filter == "luma":
+                # exact-bilinear LUMINANCE at 1 gather/pixel + subsampled
+                # chroma (ops/sampling.luma_pack_texture)
+                from .ops.sampling import luma_pack_texture
+
+                packed = jax.jit(luma_pack_texture)(packed)
             self.skybox = packed
         self.skybox_seed = int(skybox_seed)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
@@ -434,6 +475,7 @@ class BlackHoleRenderer:
         scene = scene if scene is not None else self.scene
         if scene.screen_width != self.width or scene.screen_height != self.height:
             scene = scene.replace(screen_width=self.width, screen_height=self.height)
+        kw.setdefault("texture_subsample", self.texture_subsample)
         frame = render_multires(
             camera, scene, self.skybox,
             config=self.config, divisor=divisor,

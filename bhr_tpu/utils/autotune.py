@@ -88,38 +88,54 @@ def _knob_candidates(tile, max_steps: int, width: int = 0):
     return cands
 
 
-def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8, fast_math=True):
+def _measure_candidate(width, height, max_steps, cand, n1=2, n2=8,
+                       fast_math=True, config=None, spin=0.9):
     """Slope ms/frame for one candidate config on the current device.
 
     Returns a non-positive number when dispatch-time noise swamps the
     measurement (short scan slower than long scan); callers must discard
-    such samples.
+    such samples. `config` (a TraceConfig) selects the physics being
+    tuned; the measured program is the SHIPPED one — renderer.render_image
+    with this exact kernel configuration (monolithic where eligible,
+    staged epilogue otherwise).
     """
     from ..core.camera import orbit_camera
     from ..core.scene import SceneParams
-    from ..ops.pallas_trace import pallas_render_packed
     from ..ops.trace import TraceConfig
 
+    if config is None:
+        config = TraceConfig()
     cand = _normalize(cand)
     scene = SceneParams(
-        screen_width=width, screen_height=height, max_steps=max_steps
+        screen_width=width, screen_height=height, max_steps=max_steps,
+        spin=jnp.float32(spin if config.model.startswith("kerr") else 0.0),
     )
+    from ..models.disk import DiskParams, blackbody_lut
+    from ..renderer import render_image
+
+    disk_params = (
+        DiskParams.for_scene(scene.schwarzschild_radius) if config.disk else None
+    )
+    lut = blackbody_lut() if config.disk else None
 
     def one(c, t):
-        # measure the SHIPPED program: both math tiers render through the
-        # monolithic trace+shade kernel, exactly what bench.py/render_image
-        # dispatch for this (headline, no-texture) config
-        out = pallas_render_packed(
+        out = render_image(
             orbit_camera(t),
             scene,
-            TraceConfig(),
+            None,
+            disk_params,
+            lut,
+            config=config,
+            use_pallas=True,
             tile=tuple(cand["tile"]),
-            early_exit_every=cand["early_exit_every"],
-            steps_per_check=cand["steps_per_check"],
-            unroll=cand["unroll"],
-            linear=cand["linear"],
-            interpret=False,
             fast_math=fast_math,
+            tonemap="passthrough",
+            interpret=False,
+            packed=True,
+            kernel_knobs=(
+                cand["early_exit_every"], cand["unroll"],
+                cand["steps_per_check"], int(cand["linear"]),
+            ),
         )
         return c, out
 
@@ -157,12 +173,30 @@ def _search(cands, measure, best=None):
     return best
 
 
+def _config_key_suffix(config) -> str:
+    """Cache-key suffix for non-default physics configs (empty for the
+    default TraceConfig, keeping round-2 cache entries valid)."""
+    if config is None:
+        return ""
+    parts = []
+    if config.model != "schwarzschild":
+        parts.append(config.model)
+    if config.integrator != "euler":
+        parts.append(config.integrator)
+    if config.adaptive:
+        parts.append("adaptive")
+    if config.disk:
+        parts.append("disk")
+    return ("|" + "+".join(parts)) if parts else ""
+
+
 def autotune(
     width: int,
     height: int,
     max_steps: int = 500,
     *,
     fast_math: bool = True,
+    config=None,
     candidates=None,
     cache_path: str = DEFAULT_CACHE,
     force: bool = False,
@@ -172,9 +206,14 @@ def autotune(
 
     Off-TPU (CPU/interpret) measurement is meaningless — returns the static
     pick_tile() defaults immediately. Results are cached in `cache_path`.
+    `config` tunes a non-default physics configuration (rk4/adaptive/disk/
+    kerr) — keyed separately in the cache.
     """
     device_kind = jax.devices()[0].device_kind
-    key = f"{device_kind}|{width}x{height}|steps={max_steps}|fast={fast_math}"
+    key = (
+        f"{device_kind}|{width}x{height}|steps={max_steps}|fast={fast_math}"
+        + _config_key_suffix(config)
+    )
     cache = {}
     if os.path.exists(cache_path):
         try:
@@ -191,7 +230,8 @@ def autotune(
 
     def measure(cand):
         if measure_fn is _measure_candidate:
-            return measure_fn(width, height, max_steps, cand, fast_math=fast_math)
+            return measure_fn(width, height, max_steps, cand,
+                              fast_math=fast_math, config=config)
         return measure_fn(width, height, max_steps, cand)
 
     if candidates is not None:
@@ -243,7 +283,8 @@ def tuned_knobs(tuned: dict) -> tuple:
     )
 
 
-def load_tuned(width, height, max_steps, fast_math=True, cache_path=DEFAULT_CACHE):
+def load_tuned(width, height, max_steps, fast_math=True, config=None,
+               cache_path=DEFAULT_CACHE):
     """Cached tuning result for this device/shape, or None (never measures)."""
     try:
         cache = json.load(open(cache_path))
@@ -251,6 +292,6 @@ def load_tuned(width, height, max_steps, fast_math=True, cache_path=DEFAULT_CACH
         return None
     key = (
         f"{jax.devices()[0].device_kind}|{width}x{height}|"
-        f"steps={max_steps}|fast={fast_math}"
+        f"steps={max_steps}|fast={fast_math}" + _config_key_suffix(config)
     )
     return cache.get(key)

@@ -107,15 +107,15 @@ def main():
 
         sky = procedural_starfield(256, 512, seed=3)
         frames = {}
-        for mode in ("bilinear", "nearest", "fast"):
+        for mode in ("bilinear", "nearest", "luma"):
             r = BlackHoleRenderer(96, 48, skybox=sky, texture_filter=mode,
                                   fast_math=True)
             scene = SceneParams(screen_width=96, screen_height=48, max_steps=300)
             frames[mode] = np.asarray(r.render_frame(cam, scene)).astype(int)
         d_near = np.abs(frames["bilinear"] - frames["nearest"])[..., :3].mean()
-        d_fast = np.abs(frames["bilinear"] - frames["fast"])[..., :3].mean()
-        check("texture tiers", d_fast <= d_near + 1.0,
-              f"mean|bilinear-fast|={d_fast:.2f} mean|bilinear-nearest|={d_near:.2f}")
+        d_luma = np.abs(frames["bilinear"] - frames["luma"])[..., :3].mean()
+        check("texture tiers", d_luma <= d_near + 1.0,
+              f"mean|bilinear-luma|={d_luma:.2f} mean|bilinear-nearest|={d_near:.2f}")
     except Exception as e:
         check("texture tiers", False, str(e)[:120])
 

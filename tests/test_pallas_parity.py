@@ -274,13 +274,17 @@ def test_track_steps_off_leaves_rest_identical():
     np.testing.assert_array_equal(np.asarray(a.final_vel), np.asarray(b.final_vel))
 
 
-def test_pallas_render_packed_rejects_disk():
+def test_pallas_render_packed_disk_exact_tier_rejected():
+    """The fused disk path is fast-tier-only (round 3): the exact tier's
+    disk parity contract lives in the staged LUT epilogue."""
     from bhr_tpu.ops.pallas_trace import pallas_render_packed
 
     cam = Camera.default()
     scene = _scene()
-    with pytest.raises(ValueError, match="disk"):
-        pallas_render_packed(cam, scene, TraceConfig(disk=True), interpret=True)
+    with pytest.raises(ValueError, match="fast_math"):
+        pallas_render_packed(
+            cam, scene, TraceConfig(disk=True), interpret=True, fast_math=False
+        )
 
 
 def test_stateless_exact_kernel_bit_matches_scratch_exact():
@@ -518,3 +522,62 @@ def test_linear_raygen_monolithic_shape():
         cam, scene, TraceConfig(), interpret=True, tile=(8, 128), linear=True
     )
     assert frame.shape == (33, 75)
+
+
+def test_monolithic_disk_matches_staged_fast():
+    """The fused in-kernel disk shading (fast tier) must track the staged
+    LUT epilogue: identical capture/escape/disk classification, disk
+    emission within the 10-bit LUT quantization + approx-reciprocal
+    tolerance."""
+    from bhr_tpu.core.camera import Camera
+    from bhr_tpu.core.scene import SceneParams
+    from bhr_tpu.models.disk import DiskParams, blackbody_lut
+    from bhr_tpu.ops.pallas_trace import pallas_render_packed, pallas_trace_image
+    from bhr_tpu.ops.sampling import unpack_frame
+    from bhr_tpu.ops.shading import shade_planes_packed
+    from bhr_tpu.ops.starfield import procedural_background
+    from bhr_tpu.ops.trace import TraceConfig
+    import functools
+
+    cam = Camera.new([0.0, 3.0, 13.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = SceneParams(screen_width=96, screen_height=64, max_steps=150)
+    config = TraceConfig(disk=True)
+
+    mono = np.asarray(
+        unpack_frame(
+            pallas_render_packed(
+                cam, scene, config, interpret=True, fast_math=True,
+                early_exit_every=0, steps_per_check=1,
+            )
+        )
+    ).astype(np.int32)
+
+    result = pallas_trace_image(
+        cam, scene, config, interpret=True, fast_math=True,
+        track_steps=False, early_exit_every=0,
+    )
+    staged = np.asarray(
+        unpack_frame(
+            shade_planes_packed(
+                result,
+                functools.partial(procedural_background, seed=2020),
+                scene.max_steps,
+                bh_pos=scene.black_hole_position,
+                rs=scene.schwarzschild_radius,
+                camera_position=cam.position,
+                disk_params=DiskParams.for_scene(scene.schwarzschild_radius),
+                blackbody_lut=blackbody_lut(),
+            )
+        )
+    ).astype(np.int32)
+
+    # the scene must actually contain disk pixels for this test to bite
+    disk_px = np.asarray(result.status) == 3
+    assert disk_px.mean() > 0.05, "camera/scene no longer shows the disk"
+    diff = np.abs(mono - staged)[..., :3]
+    # interpret-mode LUT path is a true gather; remaining differences are
+    # the 10-bit color quantization (up to ~2 u8 steps after the 4x
+    # intensity clip), rsqrt-chain pow vs jnp.power, and approx
+    # reciprocals vs exact divides
+    assert diff.max() <= 6, (diff.max(), np.argwhere(diff.max(-1) > 6)[:5])
+    assert (diff > 2).mean() < 0.005

@@ -153,69 +153,92 @@ def test_nearest_filter_semantics():
         np.testing.assert_allclose(got, want, atol=1e-6), k
 
 
-def test_prefilter_matches_bilinear_at_phase_centers():
-    """Nearest sampling of the 4x-prefiltered texture equals exact bilinear
-    whenever (fx, fy) falls on a phase center — and is within the 1/8-texel
-    quantization bound everywhere."""
+def test_luma_tier_grayscale_bit_matches_bilinear():
+    """For a grayscale texture the luma tier IS exact bilinear: L equals
+    every channel and chroma is zero, so the single-gather corner-packed
+    luma lerp reproduces the 3-gather bilinear sampler bit-for-bit."""
     import jax
     import jax.numpy as jnp
 
     from bhr_tpu.ops.sampling import (
+        corner_pack_texture,
+        luma_pack_texture,
         pack_texture_rgba8,
-        prefilter_packed_texture,
-        sample_bilinear,
         sample_equirect_packed,
+        sample_equirect_packed_luma,
     )
 
     rng = np.random.RandomState(12)
-    tex = np.round(rng.rand(16, 32, 4).astype(np.float32) * 255.0) / 255.0
+    gray = np.round(rng.rand(16, 32, 1).astype(np.float32) * 255.0) / 255.0
+    tex = np.concatenate([gray, gray, gray, np.ones_like(gray)], axis=-1)
     packed = jnp.asarray(pack_texture_rgba8(tex))
-    up = jax.jit(prefilter_packed_texture)(packed)
-    assert up.shape == (64, 128)
+    cp = corner_pack_texture(packed)
+    lp = jax.jit(luma_pack_texture)(packed)
 
-    # random directions; compare fast tier vs exact bilinear
-    d = rng.randn(500, 3).astype(np.float32)
+    d = rng.randn(16, 24, 3).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
-    exact = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
-    fast = np.stack(sample_equirect_packed(up, dx, dy, dz, filter="nearest"), -1)
-    # worst case: weights off by <= 1/8 against each texel pair delta,
-    # twice (two axes), plus the u8 re-quantization of the prefiltered texels
-    err = np.abs(exact - fast).max()
-    assert err <= 2 * (1.0 / 8.0) + 2.5 / 255.0, f"fast tier error {err}"
+    dx, dy, dz = (jnp.asarray(d[..., i]) for i in range(3))
+    exact = np.stack(sample_equirect_packed(cp, dx, dy, dz), -1)
+    status = jnp.zeros(d.shape[:2], jnp.int32)
+    luma = np.stack(
+        sample_equirect_packed_luma(lp, dx, dy, dz, status, chroma_sub=1), -1
+    )
+    np.testing.assert_array_equal(exact, luma)
 
 
-def test_prefilter_preserves_constant_texture():
+def test_luma_tier_color_close_to_bilinear():
+    """Color textures: luma exact, chroma nearest-sampled -> bounded error."""
     import jax.numpy as jnp
 
-    from bhr_tpu.ops.sampling import prefilter_packed_texture
+    from bhr_tpu.ops.sampling import (
+        corner_pack_texture,
+        luma_pack_texture,
+        pack_texture_rgba8,
+        sample_equirect_packed,
+        sample_equirect_packed_luma,
+    )
 
-    c = np.full((4, 8, 4), 0.5, np.float32)
-    from bhr_tpu.ops.sampling import pack_texture_rgba8
-
-    packed = jnp.asarray(pack_texture_rgba8(c))
-    up = np.asarray(prefilter_packed_texture(packed))
-    assert (up == np.asarray(packed)[0, 0]).all()
+    rng = np.random.RandomState(5)
+    # smooth color gradient + sparse bright "stars"
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 64), indexing="ij")
+    tex = np.stack([0.2 + 0.1 * yy, 0.2 + 0.1 * xx, 0.25 + 0 * xx, 1 + 0 * xx], -1)
+    tex = np.round(tex.astype(np.float32) * 255.0) / 255.0
+    packed = jnp.asarray(pack_texture_rgba8(tex))
+    cp = corner_pack_texture(packed)
+    lp = luma_pack_texture(packed)
+    d = rng.randn(16, 24, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dx, dy, dz = (jnp.asarray(d[..., i]) for i in range(3))
+    exact = np.stack(sample_equirect_packed(cp, dx, dy, dz), -1)
+    status = jnp.zeros(d.shape[:2], jnp.int32)
+    luma = np.stack(
+        sample_equirect_packed_luma(lp, dx, dy, dz, status, chroma_sub=1), -1
+    )
+    # chroma is nearest (<= 1-texel positional error on a smooth gradient)
+    # + 9-bit quantization; luma exact
+    assert np.abs(exact - luma).max() < 0.03
 
 
 def test_renderer_texture_filter_modes(small_skybox):
     from bhr_tpu import BlackHoleRenderer
 
     frames = {}
-    for mode in ("bilinear", "nearest", "fast"):
+    for mode in ("bilinear", "nearest", "luma"):
         r = BlackHoleRenderer(24, 16, skybox=small_skybox, texture_filter=mode)
         frames[mode] = np.asarray(r.render_frame())
     assert frames["bilinear"].shape == (16, 24, 4)
     # tiers approximate each other: captured region identical (black), and
-    # background within the positional-quantization bound
-    diff_fast = np.abs(
-        frames["bilinear"].astype(int) - frames["fast"].astype(int)
+    # background within the positional/chroma-quantization bound
+    diff_luma = np.abs(
+        frames["bilinear"].astype(int) - frames["luma"].astype(int)
     )[..., :3]
-    assert diff_fast.mean() < 30.0
+    assert diff_luma.mean() < 8.0
     import pytest
 
     with pytest.raises(ValueError, match="texture_filter"):
         BlackHoleRenderer(8, 8, skybox=small_skybox, texture_filter="cubic")
+    with pytest.raises(ValueError, match="removed"):
+        BlackHoleRenderer(8, 8, skybox=small_skybox, texture_filter="fast")
 
 
 def test_texture_subsample_corner_pixels_exact(small_skybox):
@@ -296,3 +319,32 @@ def test_multires_texture_subsample_runs(small_skybox):
     )
     assert frame.shape == (24, 36, 4)
     assert frame[..., 3].min() == 255
+
+
+def test_texture_checkerboard_sampled_pixels_exact(small_skybox):
+    """Checkerboard sampling: every (i + j)-even pixel reproduces the full
+    render bit-exactly; holes are finite reconstructions."""
+    from bhr_tpu import BlackHoleRenderer
+
+    full = np.asarray(BlackHoleRenderer(32, 24, skybox=small_skybox).render_frame())
+    f = np.asarray(
+        BlackHoleRenderer(
+            32, 24, skybox=small_skybox, texture_subsample="checker"
+        ).render_frame()
+    )
+    ii, jj = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    sampled = ((ii + jj) % 2) == 0
+    np.testing.assert_array_equal(f[sampled], full[sampled])
+    # holes close to the full render (1 px reconstruction span)
+    d = np.abs(full.astype(int) - f.astype(int))[..., :3]
+    assert d[~sampled].mean() < 6.0
+
+
+def test_texture_checkerboard_odd_dims(small_skybox):
+    """Odd width/height exercise the padding in the weave."""
+    from bhr_tpu import BlackHoleRenderer
+
+    r = BlackHoleRenderer(33, 23, skybox=small_skybox, texture_subsample="checker")
+    f = np.asarray(r.render_frame())
+    assert f.shape == (23, 33, 4)
+    assert f[..., 3].min() == 255
