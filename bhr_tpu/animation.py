@@ -43,7 +43,9 @@ APP_MAX_STEPS = 200
         "packed",
         "camera_fn",
         "texture_filter",
+        "texture_subsample",
         "kernel_knobs",
+        "multires",
     ),
 )
 def render_frames_scan(
@@ -64,7 +66,9 @@ def render_frames_scan(
     packed=False,
     camera_fn=None,
     texture_filter="bilinear",
+    texture_subsample=1,
     kernel_knobs=None,
+    multires=0,
 ):
     """Render frames at `times` (fp32[F]) in one fused lax.scan.
 
@@ -86,23 +90,43 @@ def render_frames_scan(
 
     def step(carry, t):
         cam = camera_fn(t)
-        frame = render_image(
-            cam,
-            scene,
-            skybox,
-            disk_params,
-            lut,
-            config=config,
-            use_pallas=use_pallas,
-            tile=tile,
-            fast_math=fast_math,
-            tonemap=tonemap,
-            interpret=interpret,
-            seed=seed,
-            packed=True,
-            texture_filter=texture_filter,
-            kernel_knobs=kernel_knobs,
-        )
+        if multires:
+            # roadmap Phase 4-1 approximation inside the fused scan:
+            # 1/multires-res geodesics + edge fix-up (ops/multires.py)
+            from .ops.multires import render_multires
+
+            frame = render_multires(
+                cam,
+                scene,
+                skybox,
+                config=config,
+                divisor=multires,
+                texture_filter=texture_filter,
+                texture_subsample=texture_subsample,
+                seed=seed,
+                interpret=interpret,
+                fast_math=fast_math,
+                packed=True,
+            )
+        else:
+            frame = render_image(
+                cam,
+                scene,
+                skybox,
+                disk_params,
+                lut,
+                config=config,
+                use_pallas=use_pallas,
+                tile=tile,
+                fast_math=fast_math,
+                tonemap=tonemap,
+                interpret=interpret,
+                seed=seed,
+                packed=True,
+                texture_filter=texture_filter,
+                texture_subsample=texture_subsample,
+                kernel_knobs=kernel_knobs,
+            )
         return carry, frame
 
     _, frames = jax.lax.scan(step, 0, times)
@@ -158,7 +182,9 @@ class PathAnimator:
             seed=r.skybox_seed,
             packed=packed,
             texture_filter=getattr(r, "_sample_filter", "bilinear"),
+            texture_subsample=getattr(r, "texture_subsample", 1),
             kernel_knobs=r.kernel_knobs,
+            multires=getattr(r, "multires", 0),
             **self._scan_kwargs(),
         )
 

@@ -51,8 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perf-log", metavar="TAG", help="record a performance CSV with this version tag")
     p.add_argument("--duration", type=float, metavar="SECONDS", help="auto-exit after N seconds (benchmarking)")
     p.add_argument("--debug-steps", action="store_true", help="step-count heatmap debug mode")
-    p.add_argument("--integrator", default="euler", choices=["euler", "rk4"],
-                   help="geodesic integrator (replaces the reference --shader hot-swap)")
+    p.add_argument("--integrator", default="euler",
+                   choices=["euler", "rk4", "leapfrog"],
+                   help="geodesic integrator (replaces the reference --shader "
+                        "hot-swap); leapfrog = the roadmap's symplectic "
+                        "comparator (ROADMAP.md:179-190)")
     # TPU-native extensions
     p.add_argument("--model", default="schwarzschild",
                    choices=["schwarzschild", "kerr", "kerr_lt", "flat"],
@@ -81,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "1 gather/pixel (real-time), bilinear = exact "
                         "corner-packed 3-gather, luma = exact-bilinear "
                         "luminance + subsampled chroma at ~1.25 gathers")
+    p.add_argument("--multires", type=int, default=0, metavar="N",
+                   help="render with 1/N-resolution geodesics + shadow-edge "
+                        "fix-up (roadmap Phase 4-1; ~1.7x faster at N=3, "
+                        "SSIM ~0.9995); incompatible with --disk/--debug-steps")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--fast-math", action=argparse.BooleanOptionalAction, default=True,
                    help="approximate rsqrt/reciprocal in the hot loop — matches "
@@ -212,7 +219,15 @@ def _per_frame_loop(args, renderer, scene, stats, logger) -> int:
         camera = orbit_camera(t)
 
         q = TimestampQuery(overhead_ms=overhead_ms)
-        frame = renderer.render_frame(camera, scene, timestamp_query=q)
+        if getattr(renderer, "multires", 0):
+            q.begin()
+            frame = renderer.render_frame_multires(
+                camera, scene, divisor=renderer.multires
+            )
+            frame.block_until_ready()
+            q.end()
+        else:
+            frame = renderer.render_frame(camera, scene, timestamp_query=q)
 
         if args.out:
             host = np.asarray(jax.device_get(frame))
@@ -260,6 +275,8 @@ def main(argv=None) -> int:
             tile = tuple(tuned["tile"])
             knobs = tuned_knobs(tuned)
 
+    if args.multires and (args.disk or args.debug_steps):
+        raise SystemExit("--multires is incompatible with --disk/--debug-steps")
     renderer = BlackHoleRenderer(
         args.width,
         args.height,
@@ -273,6 +290,7 @@ def main(argv=None) -> int:
         kernel_knobs=knobs,
         skybox=args.skybox,
         texture_filter=args.texture_filter,
+        multires=args.multires,
     )
     chunk = args.chunk if args.chunk > 0 else DEFAULT_CHUNK
     print(

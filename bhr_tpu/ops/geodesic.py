@@ -28,7 +28,7 @@ MODELS = {
     "flat": flat,
 }
 
-INTEGRATORS = ("euler", "rk4")
+INTEGRATORS = ("euler", "rk4", "leapfrog")
 
 
 def model_acceleration(model: str):
@@ -94,7 +94,36 @@ def rk4_step(accel_fn, rel, vel, r, rs, spin, dt):
     return new_rel, new_vel
 
 
-STEP_FNS = {"euler": euler_step, "rk4": rk4_step}
+def leapfrog_step(accel_fn, rel, vel, r, rs, spin, dt):
+    """Kick-drift-kick leapfrog / velocity-Verlet (reference:
+    docs/ROADMAP.md:179-190 — the roadmap's symplectic comparator).
+
+    v_half = v + a(p, v) dt/2 ; p' = p + v_half dt ;
+    v' = v_half + a(p', v*) dt/2  with one fixed-point correction on v*.
+
+    The geodesic "force" is velocity-dependent, which degrades naive KDK
+    to 1st order; one corrector iteration on the final kick (v* =
+    v_half + a(p', v_half) dt/2) restores genuine 2nd order (verified by
+    tests/test_geodesic.py's convergence-order test) at 3 accel
+    evaluations per step — still under RK4's 4. The position-update radii
+    are guarded away from r = rs exactly like rk4_step's substeps.
+    """
+    dt = _bcast_dt(dt, rel)
+    half = 0.5 * dt
+    a1 = accel_fn(rel, vel, r, rs, spin)
+    v_half = vel + a1 * half
+    new_rel = rel + v_half * dt
+    rs_arr = jnp.asarray(rs, jnp.float32)
+    rr = jnp.sqrt(jnp.sum(new_rel * new_rel, axis=-1))
+    rr = jnp.maximum(rr, 1.0001 * jnp.maximum(rs_arr, 1e-6))
+    a2a = accel_fn(new_rel, v_half, rr, rs, spin)
+    v_pred = v_half + a2a * half
+    a2 = accel_fn(new_rel, v_pred, rr, rs, spin)
+    new_vel = v_half + a2 * half
+    return new_rel, new_vel
+
+
+STEP_FNS = {"euler": euler_step, "rk4": rk4_step, "leapfrog": leapfrog_step}
 
 
 def adaptive_dt(r, rs, base_dt, k=0.1, lo=0.01, hi=1.0):

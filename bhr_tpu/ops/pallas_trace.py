@@ -99,7 +99,7 @@ def monolithic_eligible(config, scene, *, use_pallas, fast_math, skybox,
         use_pallas
         and skybox is None
         and disk_ok
-        and config.integrator in ("euler", "rk4")
+        and config.integrator in ("euler", "rk4", "leapfrog")
         # exact tier fuses too (round 2): in-kernel shading reuses the
         # identical starfield ops and a true round-half-even quantizer, so
         # frames bit-match the staged epilogue. kerr_lt exact has no
@@ -286,7 +286,7 @@ def build_kernel(
     # that keeps frozen rays' arithmetic finite, so it stays excluded.
     if steps_per_check > 1:
         ok = (
-            config.integrator in ("euler", "rk4")
+            config.integrator in ("euler", "rk4", "leapfrog")
             and not track_steps
             and config.model in ("schwarzschild", "flat", "kerr")
             and max_steps % steps_per_check == 0
@@ -382,6 +382,20 @@ def build_kernel(
             nv = _vaxpy(vel, a, dt)
             np_ = _vaxpy(rel, nv, dt)
             return np_, nv
+        if config.integrator == "leapfrog":
+            # corrected kick-drift-kick (ROADMAP.md:179-190); mirrors
+            # ops/geodesic.leapfrog_step's operation order
+            half = 0.5 * dt
+            a1 = accel(rel, vel, r, r2, rs, spin)
+            vh = _vaxpy(vel, a1, half)
+            np_ = _vaxpy(rel, vh, dt)
+            rr = jnp.maximum(
+                jnp.sqrt(_vdot(np_, np_)), 1.0001 * jnp.maximum(rs, 1e-6)
+            )
+            a2a = accel(np_, vh, rr, rr * rr, rs, spin)
+            vp = _vaxpy(vh, a2a, half)
+            a2 = accel(np_, vp, rr, rr * rr, rs, spin)
+            return np_, _vaxpy(vh, a2, half)
         # classic RK4 on (pos, vel) (docs/ROADMAP.md:169-176)
         guard = 1.0001 * jnp.maximum(rs, 1e-6)
 
@@ -493,6 +507,22 @@ def build_kernel(
         nv = _vaxpy(vel, kv, sixth)
         return new_rel, _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
 
+    def sl_leapfrog(rel, vel, dt, rs, spin):
+        """Corrected kick-drift-kick with the folded fast acceleration
+        (one fixed-point iteration on the final kick — see
+        geodesic.leapfrog_step)."""
+        if config.model == "flat":
+            return _vaxpy(rel, vel, dt), vel
+        half = 0.5 * dt
+        a1 = sl_deriv(rel, vel, rs, spin, True)
+        vh = _vaxpy(vel, a1, half)
+        new_rel = _vaxpy(rel, vh, dt)
+        a2a = sl_deriv(new_rel, vh, rs, spin, True)
+        vp = _vaxpy(vh, a2a, half)
+        a2 = sl_deriv(new_rel, vp, rs, spin, True)
+        nv = _vaxpy(vh, a2, half)
+        return new_rel, _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
+
     # ---- exact Kerr: Hamiltonian geodesics in Kerr-Schild form ------------
     # Plane transcription of models/kerr_schild.py (q = position rel to BH,
     # p = covariant momentum with p_t = -1). KS coordinates are horizon-
@@ -596,6 +626,22 @@ def build_kernel(
         return _vaxpy(q, comb(k1q, k2q, k3q, k4q), sixth), _vaxpy(
             p, comb(k1p, k2p, k3p, k4p), sixth
         )
+
+    def ks_leapfrog(q, p, dt_eff, rs, a):
+        """Corrected kick-drift-kick on (q, p) — midpoint drift + final-kick
+        corrector, mirroring the oracle's step_leapfrog (the KS Hamiltonian
+        is non-separable; both corrections are needed for 2nd order)."""
+        half = 0.5 * dt_eff
+        _, dp1, _, _, _, _ = ks_all(q, p, rs, a)
+        ph = _vaxpy(p, dp1, half)
+        dq_a, _, _, _, _, _ = ks_all(q, ph, rs, a)
+        q_mid = _vaxpy(q, dq_a, half)
+        dq_b, _, _, _, _, _ = ks_all(q_mid, ph, rs, a)
+        q2 = _vaxpy(q, dq_b, dt_eff)
+        _, dp2a, _, _, _, _ = ks_all(q2, ph, rs, a)
+        p_pred = _vaxpy(ph, dp2a, half)
+        _, dp2, _, _, _, _ = ks_all(q2, p_pred, rs, a)
+        return q2, _vaxpy(ph, dp2, half)
 
     def ks_init_p(q0_scalar, d, rs, a):
         """Null momentum with E = 1 from scalar camera position + direction
@@ -862,6 +908,53 @@ def build_kernel(
             div_s = _shared_div(s)
             return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
 
+        def sl_leapfrog_exact(rel, vel, r, dt_eff, m):
+            """IEEE kick-drift-kick mirroring ops/geodesic.leapfrog_step
+            (a1 at the loop's radius with the oracle's literal division
+            order + freeze guards; a2 at the rk4-style guarded radius)."""
+            if config.model == "flat":
+                return _vaxpy(rel, vel, dt_eff), vel
+            half = 0.5 * dt_eff
+            # a1: identical expression tree to physics_substep_exact's accel
+            div_r = _shared_div(r)
+            r_vec = (div_r(rel[0]), div_r(rel[1]), div_r(rel[2]))
+            rs_over_r = div_r(rs)
+            one_m = 1.0 - rs_over_r
+            one_m = _freeze_guard(one_m, m, 0.5)
+            factor = rs / (2.0 * r * r * one_m)
+            v_rad = _vdot(vel, r_vec)
+            one_p = 1.0 + rs_over_r
+            a1 = (
+                -factor * (vel[0] * one_m - r_vec[0] * v_rad * one_p),
+                -factor * (vel[1] * one_m - r_vec[1] * v_rad * one_p),
+                -factor * (vel[2] * one_m - r_vec[2] * v_rad * one_p),
+            )
+            vh = _vaxpy(vel, a1, half)
+            new_rel = _vaxpy(rel, vh, dt_eff)
+            guard = 1.0001 * jnp.maximum(rs, 1e-6)
+            rr = jnp.maximum(jnp.sqrt(_vdot(new_rel, new_rel)), guard)
+            div_rr = _shared_div(rr)
+            r_vec2 = (div_rr(new_rel[0]), div_rr(new_rel[1]), div_rr(new_rel[2]))
+            rs_over_r2 = div_rr(rs)
+            one_m2 = 1.0 - rs_over_r2
+            factor2 = rs / (2.0 * rr * rr * one_m2)
+            one_p2 = 1.0 + rs_over_r2
+
+            def a_at(v):
+                v_rad2 = _vdot(v, r_vec2)
+                return (
+                    -factor2 * (v[0] * one_m2 - r_vec2[0] * v_rad2 * one_p2),
+                    -factor2 * (v[1] * one_m2 - r_vec2[1] * v_rad2 * one_p2),
+                    -factor2 * (v[2] * one_m2 - r_vec2[2] * v_rad2 * one_p2),
+                )
+
+            vp = _vaxpy(vh, a_at(vh), half)  # corrector (see leapfrog_step)
+            nv = _vaxpy(vh, a_at(vp), half)
+            s = jnp.sqrt(_vdot(nv, nv))
+            s = _freeze_guard(s, m, 1.0)
+            div_s = _shared_div(s)
+            return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
+
         disk_sentinel_y = 2.5 * escape_r_param
         r_isco = params[_P_RISCO]
         r_outer = params[_P_ROUTER]
@@ -919,6 +1012,8 @@ def build_kernel(
             if is_ks:
                 if config.integrator == "rk4":
                     rel, vel = ks_rk4(rel, vel, dt_eff, rs, a_spin)
+                elif config.integrator == "leapfrog":
+                    rel, vel = ks_leapfrog(rel, vel, dt_eff, rs, a_spin)
                 else:
                     rel, vel = ks_substep(rel, vel, dt_eff, rs, a_spin)
             elif config.integrator == "rk4":
@@ -926,6 +1021,11 @@ def build_kernel(
                     rel, vel = sl_rk4(rel, vel, dt_eff, rs, spin)
                 else:
                     rel, vel = sl_rk4_exact(rel, vel, dt_eff, m)
+            elif config.integrator == "leapfrog":
+                if fast_math:
+                    rel, vel = sl_leapfrog(rel, vel, dt_eff, rs, spin)
+                else:
+                    rel, vel = sl_leapfrog_exact(rel, vel, r_exact, dt_eff, m)
             elif fast_math:
                 rel, vel = physics_substep(rel, vel, r2, jax.lax.rsqrt(r2), dt_eff)
             else:
@@ -1423,6 +1523,8 @@ def build_kernel(
                 # renormalization (|p| is not conserved, E = -p_t is)
                 if config.integrator == "rk4":
                     new_rel, new_vel_n = ks_rk4(rel, vel, dt, rs, a_spin)
+                elif config.integrator == "leapfrog":
+                    new_rel, new_vel_n = ks_leapfrog(rel, vel, dt, rs, a_spin)
                 else:
                     new_rel, new_vel_n = ks_substep(rel, vel, dt, rs, a_spin)
             else:

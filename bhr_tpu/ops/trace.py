@@ -45,7 +45,7 @@ class TraceConfig:
     the reference's hot-swappable `--shader` flag (reference: src/main.rs:30).
     """
 
-    integrator: str = "euler"  # "euler" | "rk4"
+    integrator: str = "euler"  # "euler" | "rk4" | "leapfrog"
     model: str = "schwarzschild"  # "schwarzschild" | "kerr" | "flat"
     adaptive: bool = False  # adaptive step size (docs/ROADMAP.md:195-201)
     dt: float = DEFAULT_DT
@@ -197,7 +197,28 @@ def _trace_rays_kerr_schild(
             p + sixth * (k1p + 2.0 * k2p + 2.0 * k3p + k4p),
         )
 
-    step = step_rk4 if config.integrator == "rk4" else step_euler
+    def step_leapfrog(q, p, dt):
+        # kick-drift-kick on (q, p) with midpoint-corrected drift and a
+        # corrector iteration on the final kick: the KS Hamiltonian is
+        # non-separable (dq depends on q, dp on p), so naive KDK is only
+        # 1st order; both one-iteration corrections restore genuine 2nd
+        # order (H drift quarters when dt halves — tests/test_geodesic.py)
+        # (ROADMAP.md:179-190 comparator; see geodesic.leapfrog_step)
+        half = 0.5 * dt
+        _, dp1 = ks.derivs(q, p, rs, spin)
+        ph = p + dp1 * half
+        dq_a, _ = ks.derivs(q, ph, rs, spin)
+        q_mid = q + dq_a * half
+        dq_b, _ = ks.derivs(q_mid, ph, rs, spin)
+        q2 = q + dq_b * dt
+        _, dp2a = ks.derivs(q2, ph, rs, spin)
+        p_pred = ph + dp2a * half
+        _, dp2 = ks.derivs(q2, p_pred, rs, spin)
+        return q2, ph + dp2 * half
+
+    step = {"euler": step_euler, "rk4": step_rk4, "leapfrog": step_leapfrog}[
+        config.integrator
+    ]
 
     def cond(carry):
         i, q, p, status, steps = carry

@@ -94,7 +94,12 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         model = "kerr_lt"
     if "flat" in low:
         model = "flat"
-    integrator = "rk4" if "rk4" in low else "euler"
+    if "rk4" in low:
+        integrator = "rk4"
+    elif "leapfrog" in low or "verlet" in low:
+        integrator = "leapfrog"
+    else:
+        integrator = "euler"
     return integrator, model
 
 
@@ -280,6 +285,7 @@ class BlackHoleRenderer:
         texture_filter: str = "bilinear",
         texture_subsample: int = 1,
         kernel_knobs: tuple | None = None,
+        multires: int = 0,
     ):
         self.context = context or TpuContext.new()
         self.width = int(width)
@@ -364,6 +370,13 @@ class BlackHoleRenderer:
                 packed = jax.jit(luma_pack_texture)(packed)
             self.skybox = packed
         self.skybox_seed = int(skybox_seed)
+        # multires divisor for the ANIMATION path (PathAnimator /
+        # render_frames_scan / app --multires): 0 = full resolution.
+        # render_frame stays full-res; use render_frame_multires for
+        # single frames.
+        if multires and (disk or int(multires) < 0):
+            raise ValueError("multires requires a disk-free config and >= 0")
+        self.multires = int(multires)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
         self._last_frame = None
         logger.info(

@@ -66,7 +66,15 @@ def _knob_candidates(tile, max_steps: int, width: int = 0):
     cands = []
     # flat-id ray-gen pays when 2-D tiling pads the width
     linears = (False, True) if width % tile[1] else (False,)
-    for eee in (0, DEFAULT_EARLY_EXIT_EVERY):
+    # early-exit cadences: off, the default, plus divisors of max_steps so
+    # the turbo axis stays combinable (e.g. 500 % 64 != 0 locks the
+    # default cadence to spc=1 — disk/kerr configs, where rays DO
+    # terminate early, need a dividing cadence to explore eee x spc)
+    eees = [0, DEFAULT_EARLY_EXIT_EVERY]
+    for e in (25, 50, 100):
+        if max_steps % e == 0 and e not in eees:
+            eees.append(e)
+    for eee in eees:
         for spc in (1, 2, 4, 5, 10, 20, 25, 50):
             if spc > 1 and max_steps % spc:
                 continue

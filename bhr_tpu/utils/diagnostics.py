@@ -60,3 +60,72 @@ def assert_healthy(result: TraceResult, max_steps: int | None = None, tol: float
     if max_steps is not None:
         assert d["steps_exceed_bound"] == 0, f"steps exceed max_steps: {d}"
     return d
+
+def hamiltonian_drift(q0, d0, rs, spin, dt, n_steps, integrator="leapfrog"):
+    """Max |H(q, p)| along exact-Kerr trajectories — the conserved-quantity
+    monitor the reference roadmap planned (docs/ROADMAP.md:218-231).
+
+    H = (1/2) g^{uv} p_u p_v = 0 exactly on a null geodesic; its drift over
+    `n_steps` of size `dt` measures integrator error directly. The
+    symplectic family (semi-implicit euler, leapfrog) shows bounded
+    oscillatory drift; non-symplectic RK4 drifts secularly but at O(dt^4).
+
+    q0: (..., 3) start positions rel to the BH; d0: (..., 3) directions.
+    Returns a float (max |H| over all rays and steps).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import kerr_schild as ks
+
+    q0 = jnp.asarray(q0, jnp.float32)
+    d = jnp.asarray(d0, jnp.float32)
+    d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    p0 = ks.init_momentum(q0, d, rs, spin)
+
+    def step_euler(q, p):
+        _, dp = ks.derivs(q, p, rs, spin)
+        p2 = p + dp * dt
+        dq2, _ = ks.derivs(q, p2, rs, spin)
+        return q + dq2 * dt, p2
+
+    def step_leapfrog(q, p):
+        # midpoint-corrected KDK — must match ops/trace.py step_leapfrog
+        half = 0.5 * dt
+        _, dp1 = ks.derivs(q, p, rs, spin)
+        ph = p + dp1 * half
+        dq_a, _ = ks.derivs(q, ph, rs, spin)
+        q_mid = q + dq_a * half
+        dq_b, _ = ks.derivs(q_mid, ph, rs, spin)
+        q2 = q + dq_b * dt
+        _, dp2a = ks.derivs(q2, ph, rs, spin)
+        p_pred = ph + dp2a * half
+        _, dp2 = ks.derivs(q2, p_pred, rs, spin)
+        return q2, ph + dp2 * half
+
+    def step_rk4(q, p):
+        def f(q, p):
+            return ks.derivs(q, p, rs, spin)
+
+        k1q, k1p = f(q, p)
+        k2q, k2p = f(q + 0.5 * dt * k1q, p + 0.5 * dt * k1p)
+        k3q, k3p = f(q + 0.5 * dt * k2q, p + 0.5 * dt * k2p)
+        k4q, k4p = f(q + dt * k3q, p + dt * k3p)
+        sixth = dt / 6.0
+        return (
+            q + sixth * (k1q + 2.0 * k2q + 2.0 * k3q + k4q),
+            p + sixth * (k1p + 2.0 * k2p + 2.0 * k3p + k4p),
+        )
+
+    step = {"euler": step_euler, "leapfrog": step_leapfrog, "rk4": step_rk4}[
+        integrator
+    ]
+
+    def body(carry, _):
+        q, p = carry
+        q, p = step(q, p)
+        h = ks.hamiltonian(q, p, rs, spin)
+        return (q, p), jnp.max(jnp.abs(h))
+
+    _, hs = jax.lax.scan(body, (q0, p0), None, length=n_steps)
+    return float(jnp.max(hs))

@@ -23,7 +23,11 @@ def test_parser_reference_flags():
 
 def test_parser_rejects_unknown_integrator():
     with pytest.raises(SystemExit):
-        build_parser().parse_args(["--integrator", "leapfrog"])
+        build_parser().parse_args(["--integrator", "rk6"])
+
+
+def test_parser_accepts_leapfrog():
+    assert build_parser().parse_args(["--integrator", "leapfrog"]).integrator == "leapfrog"
 
 
 def test_app_renders_frames_and_logs(tmp_path, monkeypatch):
@@ -166,3 +170,26 @@ def test_app_kerr_lt_gets_spin(tmp_path, monkeypatch):
                "--oracle"])
     assert rc == 0
     assert captured["spin"] == pytest.approx(0.7)
+
+
+def test_app_multires_flag(tmp_path, monkeypatch):
+    """--multires N renders through the 1/N-res geodesic path in both loop
+    modes and still writes frames."""
+    monkeypatch.chdir(tmp_path)
+    for chunk in ("2", "1"):
+        out = str(tmp_path / f"mr{chunk}")
+        rc = main(
+            [
+                "--frames", "2",
+                "--width", "36",
+                "--height", "24",
+                "--max-steps", "20",
+                "--multires", "2",
+                "--chunk", chunk,
+                "--out", out,
+            ]
+        )
+        assert rc == 0
+        assert len(os.listdir(out)) == 2
+    with pytest.raises(SystemExit, match="multires"):
+        main(["--frames", "1", "--multires", "2", "--disk"])

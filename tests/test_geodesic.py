@@ -227,3 +227,82 @@ def test_euler_step_semi_implicit_order():
     new_rel, new_vel = euler_step(accel_fn, rel, vel, r, 2.0, 0.0, 0.1)
     expected_rel = np.asarray(rel) + np.asarray(new_vel) * 0.1
     np.testing.assert_allclose(np.asarray(new_rel), expected_rel, rtol=1e-6)
+
+
+def test_leapfrog_convergence_is_second_order():
+    """Halving dt must cut leapfrog's error ~4x (2nd order) on the raw step
+    function (no per-step renormalization, which caps the full trace loop
+    at 1st order); euler stays ~1st order on the same trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from bhr_tpu.ops.geodesic import STEP_FNS, model_acceleration
+
+    accel_fn = model_acceleration("schwarzschild")
+    rel0 = jnp.asarray([[0.0, 0.0, 30.0]], jnp.float32)
+    d = np.array([[0.18, 0.0, -1.0]], np.float32)
+    vel0 = jnp.asarray(d / np.linalg.norm(d), jnp.float32)
+    total_t = 24.0
+
+    def integrate(integ, dt):
+        step = STEP_FNS[integ]
+
+        def body(c, _):
+            rel, vel = c
+            r = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+            rel, vel = step(accel_fn, rel, vel, r, 2.0, 0.0, dt)
+            return (rel, vel), None
+
+        (rel, vel), _ = jax.lax.scan(
+            body, (rel0, vel0), None, length=int(round(total_t / dt))
+        )
+        return np.asarray(rel[0], np.float64)
+
+    ref = integrate("rk4", 0.015)
+    orders = {}
+    for integ in ("euler", "leapfrog"):
+        e1 = np.linalg.norm(integrate(integ, 0.24) - ref)
+        e2 = np.linalg.norm(integrate(integ, 0.12) - ref)
+        orders[integ] = np.log2(e1 / e2)
+    assert orders["leapfrog"] > 1.6, orders
+    assert orders["euler"] < 1.6, orders
+
+
+def test_leapfrog_energy_drift_beats_euler():
+    """Hamiltonian drift on exact-Kerr flyby null geodesics (conserved-
+    quantity check the reference roadmap planned, ROADMAP.md:218-231):
+    the 2nd-order leapfrog must hold H ~ 0 far tighter than 1st-order
+    semi-implicit euler, quarter its drift when dt halves, and rk4 (4th
+    order, non-symplectic) sits below both at these step counts."""
+    from bhr_tpu.utils.diagnostics import hamiltonian_drift
+
+    q0 = np.array([[0.0, 1.0, 20.0], [4.0, 2.0, 18.0]], np.float32)
+    d0 = np.array([[0.45, -0.02, -1.0], [-0.5, 0.05, -1.0]], np.float32)
+
+    def drift(integ, dt, n):
+        return hamiltonian_drift(q0, d0, 2.0, 0.6, dt=dt, n_steps=n,
+                                 integrator=integ)
+
+    d_e, d_l, d_r = (drift(i, 0.1, 400) for i in ("euler", "leapfrog", "rk4"))
+    assert d_l < 0.05 * d_e, (d_e, d_l)
+    assert d_r < d_l, (d_l, d_r)
+    # 2nd order: halving dt cuts leapfrog's drift ~4x; euler only ~2x
+    ratio_l = d_l / drift("leapfrog", 0.05, 800)
+    ratio_e = d_e / drift("euler", 0.05, 800)
+    assert ratio_l > 3.0, ratio_l
+    assert ratio_e < 3.0, ratio_e
+
+
+def test_leapfrog_renders_and_is_close_to_rk4():
+    """integrator="leapfrog" must render end-to-end and produce a frame
+    close to rk4's (both 2nd+ order at dt=0.1, far from chaos at 200 steps)."""
+    from bhr_tpu import BlackHoleRenderer, Camera, SceneParams
+
+    scene = SceneParams(screen_width=48, screen_height=32, max_steps=200)
+    cam = Camera.default()
+    frames = {}
+    for integ in ("leapfrog", "rk4"):
+        r = BlackHoleRenderer(48, 32, integ)
+        frames[integ] = np.asarray(r.render_frame(cam, scene)).astype(int)
+    d = np.abs(frames["leapfrog"] - frames["rk4"])[..., :3]
+    assert (d > 32).mean() < 0.02, (d.max(), (d > 32).mean())
