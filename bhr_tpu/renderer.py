@@ -196,6 +196,44 @@ def render_image(
             scene.max_steps,
             config,
         )
+    return shade_image(
+        result,
+        camera,
+        scene,
+        skybox,
+        disk_params,
+        lut,
+        tonemap=tonemap,
+        seed=seed,
+        packed=packed,
+        texture_filter=texture_filter,
+        texture_subsample=texture_subsample,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tonemap", "seed", "packed", "texture_filter", "texture_subsample",
+    ),
+)
+def shade_image(
+    result,
+    camera,
+    scene,
+    skybox,
+    disk_params,
+    lut,
+    *,
+    tonemap: str,
+    seed: int = 2020,
+    packed: bool = False,
+    texture_filter: str = "bilinear",
+    texture_subsample: int = 1,
+):
+    """The shading epilogue as a standalone jit program: TraceResult ->
+    frame. render_image dispatches through it; the static-camera
+    deflection cache (roadmap Phase 4-4) re-runs ONLY this per frame."""
     if skybox is None:
         background = functools.partial(procedural_background, seed=seed)
     elif texture_filter == "luma" and scene.debug_mode == 0:
@@ -286,6 +324,7 @@ class BlackHoleRenderer:
         texture_subsample: int = 1,
         kernel_knobs: tuple | None = None,
         multires: int = 0,
+        cache_deflection: bool = False,
     ):
         self.context = context or TpuContext.new()
         self.width = int(width)
@@ -378,6 +417,16 @@ class BlackHoleRenderer:
             raise ValueError("multires requires a disk-free config and >= 0")
         self.multires = int(multires)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
+        # static-camera deflection caching (reference roadmap Phase 4-4,
+        # docs/ROADMAP.md:1100-1209): when enabled, render_frame keeps the
+        # traced deflection field and re-runs ONLY the shading epilogue as
+        # long as the camera/scene geometry is unchanged — texture /
+        # tonemap / seed edits then cost ~the shading pass. Frames always
+        # go through the staged pipeline so cached and uncached renders
+        # are identical.
+        self.cache_deflection = bool(cache_deflection)
+        self._deflection_key = None
+        self._deflection_result = None
         self._last_frame = None
         logger.info(
             "BlackHoleRenderer %dx%d on %s: integrator=%s model=%s pallas=%s "
@@ -449,6 +498,15 @@ class BlackHoleRenderer:
                 )
         if timestamp_query is not None:
             timestamp_query.begin()
+        if self.cache_deflection and scene.debug_mode == 0:
+            frame = self._render_cached(camera, scene, disk_params)
+            if timestamp_query is not None:
+                frame.block_until_ready()
+                timestamp_query.end()
+            self.camera = camera
+            self.scene = scene
+            self._last_frame = frame
+            return frame
         frame = render_image(
             camera,
             scene,
@@ -473,6 +531,59 @@ class BlackHoleRenderer:
         self.scene = scene
         self._last_frame = frame
         return frame
+
+    def _static_key(self, camera, scene):
+        """Geometry fingerprint: anything that changes the traced
+        deflection field (camera basis, BH params, fov, steps, config)."""
+        arrs = (
+            camera.position, camera.forward, camera.right, camera.up,
+            scene.black_hole_position, scene.schwarzschild_radius,
+            scene.fov, scene.spin,
+        )
+        return (
+            tuple(np.asarray(a, np.float32).tobytes() for a in arrs),
+            scene.max_steps, scene.screen_width, scene.screen_height,
+            self.config, self.use_pallas, self.fast_math, self.tile,
+            self.kernel_knobs,
+        )
+
+    def _render_cached(self, camera, scene, disk_params):
+        """Phase 4-4 path: trace once per camera/scene geometry, reshade
+        every frame (renderer.shade_image)."""
+        key = self._static_key(camera, scene)
+        if key != self._deflection_key:
+            if self.use_pallas:
+                knobs = self.kernel_knobs or (64, 1, 1)
+                result = pallas_trace_image(
+                    camera, scene, self.config, tile=self.tile,
+                    fast_math=self.fast_math, interpret=self.interpret,
+                    track_steps=False, early_exit_every=knobs[0],
+                    unroll=knobs[1], steps_per_check=knobs[2],
+                    linear=bool(knobs[3]) if len(knobs) > 3 else False,
+                )
+            else:
+                origins, dirs = generate_rays(
+                    camera, scene.screen_width, scene.screen_height, scene.fov
+                )
+                result = trace_rays(
+                    origins, dirs, scene.black_hole_position,
+                    scene.schwarzschild_radius, scene.spin, scene.max_steps,
+                    self.config,
+                )
+            self._deflection_key = key
+            self._deflection_result = result
+        return shade_image(
+            self._deflection_result,
+            camera,
+            scene,
+            self.skybox,
+            disk_params,
+            self._lut,
+            tonemap=self.tonemap,
+            seed=self.skybox_seed,
+            texture_filter=self._sample_filter,
+            texture_subsample=self.texture_subsample,
+        )
 
     def render_frame_multires(self, camera=None, scene=None, *, divisor=3,
                               **kw):

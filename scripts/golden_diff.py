@@ -41,6 +41,49 @@ CONFIGS = {
 }
 
 
+def status_boundary_mask(status):
+    """Pixels whose 4-neighborhood contains a different termination status."""
+    b = np.zeros(status.shape, bool)
+    b[:-1, :] |= status[:-1, :] != status[1:, :]
+    b[1:, :] |= status[1:, :] != status[:-1, :]
+    b[:, :-1] |= status[:, :-1] != status[:, 1:]
+    b[:, 1:] |= status[:, 1:] != status[:, :-1]
+    return b
+
+
+def boundary_distance_stats(status, mismatched, cap=64):
+    """(max Chebyshev distance from any mismatched pixel to the nearest
+    status-boundary pixel, fraction within 2 px).
+
+    The claim under test: kernel-vs-oracle mismatches are 1-ulp
+    FMA-contraction differences amplified by the chaotic photon-sphere /
+    disk-rim flow — so every one of them must hug a termination-status
+    boundary. A full-byte-wrong pixel in a region interior would show up
+    here as a large distance. Iterative 8-neighborhood dilation (no scipy
+    in the image)."""
+    mismatched = np.asarray(mismatched, bool)
+    if not mismatched.any():
+        return 0, 1.0
+    b = status_boundary_mask(status)
+    if not b.any():
+        return cap, 0.0
+    dist = np.where(b, 0, cap).astype(np.int32)
+    cur = b.copy()
+    for d in range(1, cap):
+        if not (mismatched & (dist >= cap)).any():
+            break
+        r = cur.copy()
+        r[:-1] |= cur[1:]
+        r[1:] |= cur[:-1]
+        n = r.copy()
+        n[:, :-1] |= r[:, 1:]
+        n[:, 1:] |= r[:, :-1]
+        dist[n & ~cur] = d
+        cur = n
+    md = dist[mismatched]
+    return int(md.max()), float((md <= 2).mean())
+
+
 def run_config(idx, out_dir, fast_math):
     import jax.numpy as jnp
 
@@ -77,6 +120,19 @@ def run_config(idx, out_dir, fast_math):
     linf_u8 = int(diff.max())
     mismatch = float((diff.max(axis=-1) > 0).mean())
 
+    # localization proof: every mismatched pixel must sit on/next to a
+    # termination-status boundary (the chaotic-amplification claim)
+    from bhr_tpu.ops.pallas_trace import pallas_trace_image
+
+    result = pallas_trace_image(
+        cam, scene, kernel.config, tile=tile, fast_math=fast_math,
+        track_steps=False,
+    )
+    status = np.asarray(result.status)
+    max_bdist, frac_within2 = boundary_distance_stats(
+        status, diff.max(axis=-1) > 0
+    )
+
     if idx == 1 and out_dir:
         from PIL import Image
 
@@ -91,6 +147,8 @@ def run_config(idx, out_dir, fast_math):
                 "linf_u8_levels": linf_u8,
                 "linf_unit_scale": round(linf_u8 / 255.0, 6),
                 "mismatched_pixel_frac": round(mismatch, 6),
+                "max_px_to_status_boundary": max_bdist,
+                "frac_mismatches_within_2px_of_boundary": round(frac_within2, 4),
                 "kernel_backend": kernel.device.platform,
                 "kernel_fast_math": bool(fast_math),
                 "kernel_tile": list(tile) if tile else None,

@@ -139,3 +139,37 @@ def test_disk_fast_path_rejects_camera_outside_escape_sphere():
     # a normal camera still renders
     frame = r.render_frame()
     assert frame.shape == (8, 16, 4)
+
+
+def test_deflection_cache_traces_once_and_matches(small_skybox):
+    """Static-camera deflection caching (roadmap Phase 4-4): repeated
+    renders at one camera re-run only the shading epilogue; frames are
+    bit-identical to the uncached staged render; moving the camera
+    retraces."""
+    import bhr_tpu.renderer as R
+    from bhr_tpu.core.camera import orbit_camera
+
+    calls = {"n": 0}
+    orig = R.trace_rays
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    R.trace_rays = counting
+    try:
+        scene = SceneParams(screen_width=32, screen_height=24, max_steps=30)
+        cam = Camera.default()
+        r = BlackHoleRenderer(32, 24, skybox=small_skybox, cache_deflection=True)
+        f1 = np.asarray(r.render_frame(cam, scene))
+        f2 = np.asarray(r.render_frame(cam, scene))
+        assert calls["n"] == 1
+        np.testing.assert_array_equal(f1, f2)
+        r.render_frame(orbit_camera(1.0), scene)
+        assert calls["n"] == 2
+    finally:
+        R.trace_rays = orig
+    plain = BlackHoleRenderer(32, 24, skybox=small_skybox)
+    np.testing.assert_array_equal(
+        f1, np.asarray(plain.render_frame(cam, scene))
+    )
