@@ -58,6 +58,10 @@ def _normalize(cand: dict) -> dict:
 
 def _tile_candidates(width: int):
     tiles = [(8, tw) for tw in (256, 384, 512, 640) if tw <= max(width, 256)]
+    # taller tiles amortize per-tile setup/grid overhead (results identical
+    # — the kernel is tile-shape-agnostic); probe them at the widths that
+    # win for (8, *)
+    tiles += [(16, tw) for tw in (512, 640) if tw <= max(width, 256)]
     return [{"tile": t, "early_exit_every": DEFAULT_EARLY_EXIT_EVERY} for t in tiles]
 
 

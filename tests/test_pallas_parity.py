@@ -540,8 +540,26 @@ def test_monolithic_disk_matches_staged_fast():
     import functools
 
     cam = Camera.new([0.0, 3.0, 13.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
-    scene = SceneParams(screen_width=96, screen_height=64, max_steps=150)
-    config = TraceConfig(disk=True)
+    for config, spin in (
+        (TraceConfig(disk=True), 0.0),
+        (TraceConfig(disk=True, model="kerr"), 0.9),  # the config-5 shape
+    ):
+        _check_monolithic_disk(cam, config, spin)
+
+
+def _check_monolithic_disk(cam, config, spin):
+    import functools
+
+    import jax.numpy as jnp
+
+    from bhr_tpu.models.disk import DiskParams, blackbody_lut
+    from bhr_tpu.ops.pallas_trace import pallas_render_packed, pallas_trace_image
+    from bhr_tpu.ops.sampling import unpack_frame
+    from bhr_tpu.ops.shading import shade_planes_packed
+    from bhr_tpu.ops.starfield import procedural_background
+
+    scene = SceneParams(screen_width=96, screen_height=64, max_steps=150,
+                        spin=jnp.float32(spin))
 
     mono = np.asarray(
         unpack_frame(
@@ -575,9 +593,8 @@ def test_monolithic_disk_matches_staged_fast():
     disk_px = np.asarray(result.status) == 3
     assert disk_px.mean() > 0.05, "camera/scene no longer shows the disk"
     diff = np.abs(mono - staged)[..., :3]
-    # interpret-mode LUT path is a true gather; remaining differences are
-    # the 10-bit color quantization (up to ~2 u8 steps after the 4x
-    # intensity clip), rsqrt-chain pow vs jnp.power, and approx
-    # reciprocals vs exact divides
+    # the in-kernel LUT is a 128-entry lerp of the staged 512-entry table;
+    # remaining differences are that resampling, rsqrt-chain pow vs
+    # jnp.power, and approx reciprocals vs exact divides
     assert diff.max() <= 6, (diff.max(), np.argwhere(diff.max(-1) > 6)[:5])
     assert (diff > 2).mean() < 0.005
