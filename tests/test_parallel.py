@@ -141,3 +141,26 @@ def test_padded_height_luminance_exact():
     frames, lums = render_animation_sharded(times, scene, None, mesh)
     g_mean = np.asarray(frames)[..., 1].astype(np.float32).mean(axis=(1, 2))
     np.testing.assert_allclose(np.asarray(lums), g_mean, rtol=1e-5)
+
+
+def test_sharded_luma_tier_close_to_single(small_skybox):
+    """The luma texture tier renders per band (chroma subsample grid
+    anchors at each band's first row), so sharded frames match the
+    single-device render up to sub-chroma differences — luma is exact
+    either way."""
+    from bhr_tpu.ops.sampling import luma_pack_texture, pack_texture_rgba8
+
+    scene = SceneParams(screen_width=64, screen_height=32, max_steps=30)
+    cam = Camera.default()
+    mesh = make_mesh(8, shape=(1, 8))
+    lp = luma_pack_texture(jnp.asarray(pack_texture_rgba8(small_skybox)))
+    sharded = np.asarray(
+        render_frame_sharded(cam, scene, lp, mesh, texture_filter="luma")
+    ).astype(int)
+    single = np.asarray(
+        BlackHoleRenderer(64, 32, skybox=small_skybox, texture_filter="luma")
+        .render_frame(cam, scene)
+    ).astype(int)
+    d = np.abs(sharded - single)[..., :3]
+    assert d.max() <= 12, d.max()  # chroma-phase only
+    assert (d > 0).mean() < 0.35
