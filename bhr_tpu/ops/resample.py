@@ -14,6 +14,8 @@ low sample.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +56,36 @@ def upsample_bilinear(plane, factor: int, out_shape):
     """(lh, lw) -> bilinear (lh*factor, lw*factor), cropped to out_shape."""
     up = upsample_axis(upsample_axis(plane, factor, 0), factor, 1)
     return up[: out_shape[0], : out_shape[1]]
+
+
+def _sel_matrix(n_in: int, stride: int, offset: int = 0):
+    """One-hot selection matrix (n_out, n_in): out[i] = in[i*stride+offset]."""
+    n_out = -(-(n_in - offset) // stride)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    idx = jnp.arange(n_out) * stride + offset
+    return m.at[jnp.arange(n_out), idx].set(1.0)
+
+
+def subsample_mm(plane, stride: int, offset: int = 0):
+    """plane[offset::stride, offset::stride] as two MXU matmuls.
+
+    A strided slice on TPU is a lane/sublane DECIMATION — XLA lowers it at
+    ~10 ns per output element (measured: scripts/sampler_bench.py, as
+    expensive as a gather), because compacting every stride-th lane is a
+    cross-lane shuffle. One-hot selection matmuls run on the otherwise-idle
+    MXU in microseconds and are exact (one term per output row, HIGHEST
+    precision). Expansion (stack+reshape interleave) has no such penalty,
+    so the upsample helpers above stay element-wise.
+    """
+    h, w = plane.shape
+    sr = _sel_matrix(h, stride, offset)
+    sc = _sel_matrix(w, stride, offset)
+    dot = functools.partial(
+        jnp.matmul,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return dot(sr, dot(plane, sc.T))
 
 
 def neighbor_max(plane):

@@ -198,10 +198,17 @@ def _sample_corner_packed(cp: jnp.ndarray, u, v):
     # that feed unnormalized v
     row = jnp.clip(y0f + 1, 0, h)
     idx = row * w + x0
+    # ONE take over all three channel planes (channel-offset flat indices):
+    # each take op costs ~2.6 ms fixed on top of ~6-7 ns/index
+    # (scripts/sampler_bench.py), so merging fetches the identical words
+    # 2 x 2.6 ms cheaper
+    plane_sz = (h + 1) * w
+    flat_idx = jnp.stack([idx + c * plane_sz for c in range(3)])
+    words = jnp.take(cp.reshape(-1), flat_idx)
     s = jnp.float32(1.0 / 255.0)
     out = []
     for c in range(3):
-        word = jnp.take(cp[c].reshape(-1), idx)
+        word = words[c]
         t00 = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
         t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
         t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
@@ -237,14 +244,18 @@ def sample_equirect_packed_subsampled(
     per pixel exactly. Pixels whose entire bilinear support is invalid
     shade black (they are nearly always captured themselves).
     """
-    from .resample import upsample_bilinear
+    from .resample import subsample_mm, upsample_bilinear
     from .trace import STATUS_CAPTURED, STATUS_DISK
 
     out_shape = vx.shape
-    vxs, vys, vzs = (p[::sub, ::sub] for p in (vx, vy, vz))
+    # decimation via one-hot MXU matmuls — a strided slice costs ~10 ns per
+    # output element on TPU (scripts/sampler_bench.py)
+    vxs, vys, vzs = (subsample_mm(p, sub) for p in (vx, vy, vz))
     r, g, b = sample_equirect_packed(packed_texture, vxs, vys, vzs, filter=filter)
-    sl = status[::sub, ::sub]
-    w = ((sl != STATUS_CAPTURED) & (sl != STATUS_DISK)).astype(jnp.float32)
+    valid_f = (
+        (status != STATUS_CAPTURED) & (status != STATUS_DISK)
+    ).astype(jnp.float32)
+    w = subsample_mm(valid_f, sub)
     den = upsample_bilinear(w, sub, out_shape)
     inv = (1.0 / jnp.maximum(den, jnp.float32(1e-6))) * (den > 0.0).astype(
         jnp.float32
@@ -328,9 +339,12 @@ def sample_equirect_packed_luma(tex_pair, vx, vy, vz, status, chroma_sub: int = 
     t11 = (word >> 24).astype(jnp.float32) * s
     luma = _lerp2d(t00, t10, t01, t11, fx, fy)
 
-    # nearest chroma on the subsampled grid (smooth content)
+    # nearest chroma on the subsampled grid (smooth content); decimation
+    # via one-hot MXU matmuls (strided slices are ~10 ns/element)
+    from .resample import subsample_mm
+
     sub = max(int(chroma_sub), 1)
-    us, vs = (p[::sub, ::sub] for p in (u, v))
+    us, vs = (subsample_mm(p, sub) if sub > 1 else p for p in (u, v))
     xn = jnp.mod(jnp.floor(us * w).astype(jnp.int32), w)
     yn = jnp.clip(jnp.floor(vs * h).astype(jnp.int32), 0, h - 1)
     cword = jnp.take(chroma.reshape(-1), yn * w + xn)
@@ -339,8 +353,10 @@ def sample_equirect_packed_luma(tex_pair, vx, vy, vz, status, chroma_sub: int = 
         q = ((cword >> sh) & jnp.uint32(0x1FF)).astype(jnp.int32) - 256
         return q.astype(jnp.float32) * s
 
-    sl = status[::sub, ::sub]
-    wt = ((sl != STATUS_CAPTURED) & (sl != STATUS_DISK)).astype(jnp.float32)
+    valid_f = (
+        (status != STATUS_CAPTURED) & (status != STATUS_DISK)
+    ).astype(jnp.float32)
+    wt = subsample_mm(valid_f, sub) if sub > 1 else valid_f
     if sub == 1:
         return tuple(luma + cchan(sh) for sh in (0, 9, 18))
     den = upsample_bilinear(wt, sub, out_shape)
@@ -384,24 +400,81 @@ def sample_equirect_packed_checkerboard(
     exact color bit-for-bit (the downstream capture mask blacks out
     captured pixels regardless).
     """
-    from .resample import shift
+    from .resample import shift, subsample_mm
     from .trace import STATUS_CAPTURED, STATUS_DISK
 
     h, w = vx.shape
     he, we = (h + 1) // 2, (w + 1) // 2  # even-row / even-col counts
     ho, wo = h // 2, w // 2
 
-    def gather(sl_r, sl_c):
-        planes = tuple(p[sl_r, sl_c] for p in (vx, vy, vz))
-        return sample_equirect_packed(packed_texture, *planes, filter=filter)
+    # checker-set directions via one-hot MXU decimation (strided slices
+    # cost ~10 ns/element — scripts/sampler_bench.py); both sets' texture
+    # lookups merge into ONE flat take (each take op carries ~2.6 ms of
+    # fixed overhead on the tunneled v5e)
+    dirs_e = tuple(subsample_mm(p, 2, 0) for p in (vx, vy, vz))
+    dirs_o = tuple(subsample_mm(p, 2, 1) for p in (vx, vy, vz))
 
-    ev = slice(0, None, 2)
-    od = slice(1, None, 2)
-    rgb_e = gather(ev, ev)  # even rows, even cols: (he, we)
-    rgb_o = gather(od, od)  # odd rows, odd cols: (ho, wo)
-    valid = (status != STATUS_CAPTURED) & (status != STATUS_DISK)
-    w_e = valid[ev, ev].astype(jnp.float32)
-    w_o = valid[od, od].astype(jnp.float32)
+    if packed_texture.ndim == 3:
+        th_, tw_ = packed_texture.shape[1] - 1, packed_texture.shape[2]
+    else:
+        th_, tw_ = packed_texture.shape
+
+    def gather_pair(de, do):
+        ue, ve = _equirect_uv(*de)
+        uo, vo = _equirect_uv(*do)
+        if filter == "nearest" and packed_texture.ndim == 2:
+            def nearest_idx(u, v):
+                xn = jnp.mod(jnp.floor(u * tw_).astype(jnp.int32), tw_)
+                yn = jnp.clip(jnp.floor(v * th_).astype(jnp.int32), 0, th_ - 1)
+                return yn * tw_ + xn
+
+            flat_idx = jnp.concatenate(
+                [nearest_idx(ue, ve).reshape(-1), nearest_idx(uo, vo).reshape(-1)]
+            )
+            words = jnp.take(packed_texture.reshape(-1), flat_idx)
+            we_ = _unpack_rgb(words[: he * we].reshape(he, we))
+            wo_ = _unpack_rgb(words[he * we :].reshape(ho, wo))
+            return we_, wo_
+        # bilinear tiers: corner-packed (3 takes) per set — merge per channel
+        if packed_texture.ndim == 3:
+            def corner_idx(u, v):
+                x0, y0f, fx, fy = _footprint(u, v, tw_, th_)
+                row = jnp.clip(y0f + 1, 0, th_)
+                return row * tw_ + x0, fx, fy
+
+            ie, fxe, fye = corner_idx(ue, ve)
+            io, fxo, fyo = corner_idx(uo, vo)
+            set_idx = jnp.concatenate([ie.reshape(-1), io.reshape(-1)])
+            plane_sz = (th_ + 1) * tw_
+            flat_idx = jnp.stack([set_idx + c * plane_sz for c in range(3)])
+            words3 = jnp.take(packed_texture.reshape(-1), flat_idx)
+            s = jnp.float32(1.0 / 255.0)
+            out_e, out_o = [], []
+            for c in range(3):
+                word = words3[c]
+
+                def lerp(wd, fx, fy):
+                    t00 = (wd & jnp.uint32(0xFF)).astype(jnp.float32) * s
+                    t10 = ((wd >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+                    t01 = ((wd >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+                    t11 = (wd >> 24).astype(jnp.float32) * s
+                    return _lerp2d(t00, t10, t01, t11, fx, fy)
+
+                out_e.append(lerp(word[: he * we].reshape(he, we), fxe, fye))
+                out_o.append(lerp(word[he * we :].reshape(ho, wo), fxo, fyo))
+            return tuple(out_e), tuple(out_o)
+        # plain packed texture, non-nearest: fall back to two sampler calls
+        return (
+            sample_equirect_packed(packed_texture, *de, filter=filter),
+            sample_equirect_packed(packed_texture, *do, filter=filter),
+        )
+
+    rgb_e, rgb_o = gather_pair(dirs_e, dirs_o)
+    valid_f = (
+        (status != STATUS_CAPTURED) & (status != STATUS_DISK)
+    ).astype(jnp.float32)
+    w_e = subsample_mm(valid_f, 2, 0)
+    w_o = subsample_mm(valid_f, 2, 1)
 
     def weave(ce, co):
         """(he, we) even-set + (ho, wo) odd-set planes -> (h, w) with zeros

@@ -40,8 +40,12 @@ def test_staged_search_measures_tiles_then_knobs(tmp_path):
     assert best["ms_per_frame"] == 8.0
     # stage 3 re-tries the non-winning tiles with the winning knobs,
     # re-exploring the linear axis where the tile pads the width
-    # (1024 % 256 == 0 -> 1 retry; % 384 and % 640 != 0 -> 2 each)
-    n_stage3 = 5
+    # (1 retry per dividing width, 2 for padded widths)
+    n_stage3 = sum(
+        1 if 1024 % c["tile"][1] == 0 else 2
+        for c in _tile_candidates(1024)
+        if tuple(c["tile"]) != (8, 512)
+    )
     n_expected = (
         len(_tile_candidates(1024))
         + len(_knob_candidates((8, 512), 100))
