@@ -43,6 +43,9 @@ import jax
 
 
 def main():
+    from bhr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # amortize remote TPU compiles across processes
     width = int(os.environ.get("BHR_BENCH_W", 1920))
     height = int(os.environ.get("BHR_BENCH_H", 1080))
     max_steps = int(os.environ.get("BHR_BENCH_STEPS", 500))
@@ -122,8 +125,11 @@ def main():
         from bhr_tpu.core.camera import orbit_camera
         from bhr_tpu.ops.multires import render_multires
 
-        if disk:
-            raise SystemExit("BHR_BENCH_MULTIRES does not support the disk")
+        from bhr_tpu.models.disk import DiskParams
+
+        disk_params = (
+            DiskParams.for_scene(scene.schwarzschild_radius) if disk else None
+        )
 
         def frame_fn(c, t):
             # renderer.skybox is the packed (and tier-transformed) texture;
@@ -132,6 +138,7 @@ def main():
             # the tuned tile) flows through, matching the reported metric.
             return c, render_multires(
                 orbit_camera(t), scene, renderer.skybox,
+                disk_params, renderer._lut,
                 config=renderer.config, divisor=multires,
                 texture_filter=renderer._sample_filter,
                 texture_subsample=texsub, interpret=False,

@@ -99,6 +99,8 @@ def render_frames_scan(
                 cam,
                 scene,
                 skybox,
+                disk_params,
+                lut,
                 config=config,
                 divisor=multires,
                 texture_filter=texture_filter,

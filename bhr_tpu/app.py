@@ -249,6 +249,10 @@ def _per_frame_loop(args, renderer, scene, stats, logger) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # amortize remote TPU compiles across processes
+
     import logging
 
     logging.basicConfig(
@@ -275,8 +279,8 @@ def main(argv=None) -> int:
             tile = tuple(tuned["tile"])
             knobs = tuned_knobs(tuned)
 
-    if args.multires and (args.disk or args.debug_steps):
-        raise SystemExit("--multires is incompatible with --disk/--debug-steps")
+    if args.multires and args.debug_steps:
+        raise SystemExit("--multires is incompatible with --debug-steps")
     renderer = BlackHoleRenderer(
         args.width,
         args.height,

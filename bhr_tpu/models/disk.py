@@ -198,19 +198,67 @@ def temperature_to_color(t, lut=None, t_min=LUT_T_MIN, t_max=LUT_T_MAX):
     return lut[i0] * (1.0 - f) + lut[i1] * f
 
 
+def temperature_to_color_select(t, t_min=LUT_T_MIN, t_max=LUT_T_MAX,
+                                coarse=64):
+    """Gather-free blackbody color: piecewise-linear clamp-sum evaluation.
+
+    XLA gathers cost ~7.4 ns per index on v5e regardless of table size
+    (scripts/gather_bench.py), so temperature_to_color's two row-gathers
+    cost ~30 ms at 1080p / ~123 ms at 4K — dwarfing the multires geodesic
+    savings for disk configs. This variant evaluates the SAME piecewise-
+    linear curve as a clamp-sum over compile-time segment constants:
+
+        c(x) = lut[0] + sum_i (lut[i+1] - lut[i]) * clamp(x - i, 0, 1)
+
+    over a `coarse`-entry subsample of the host LUT — ~5 VPU ops per
+    segment per pixel (~0.3 ms at 1080p), zero gathers. With
+    coarse=LUT_STEPS it reproduces temperature_to_color's curve exactly;
+    the default 64-segment subsample differs by < 1.5 u8 levels anywhere
+    on the curve (tests/test_models_disk.py) — used by the multires
+    approximation path where the epilogue must stay gather-free.
+    """
+    lut_np = blackbody_lut_np(t_min, t_max, LUT_STEPS)
+    if coarse and coarse < LUT_STEPS:
+        # uniform resample on the 512-entry piecewise-linear curve (uniform
+        # spacing is what makes the single x-scale below exact)
+        xs = np.linspace(0, LUT_STEPS - 1, coarse)
+        lut_np = np.stack(
+            [np.interp(xs, np.arange(LUT_STEPS), lut_np[:, c]) for c in range(3)],
+            axis=-1,
+        ).astype(np.float32)
+    steps = lut_np.shape[0]
+    x = (t - t_min) / (t_max - t_min) * (steps - 1)
+    x = jnp.clip(x, 0.0, steps - 1.0)
+    deltas = np.diff(lut_np, axis=0)  # (steps-1, 3) compile-time constants
+    chans = [jnp.full_like(x, float(lut_np[0, c])) for c in range(3)]
+    for i in range(steps - 1):
+        w = jnp.clip(x - float(i), 0.0, 1.0)
+        for c in range(3):
+            d = float(deltas[i, c])
+            if d != 0.0:
+                chans[c] = chans[c] + d * w
+    return jnp.stack(chans, axis=-1)
+
+
 def disk_emission(hit_pos, ray_direction, observer_r, rs, params: DiskParams, lut=None):
     """Observed disk color at a hit point (ROADMAP.md:451-459).
 
     T_obs = T_emit / g,  I_obs = I_emit / g^3  (standard invariant-intensity
     convention; the roadmap's g is a redshift factor where g > 1 means
     redshifted, so observed quantities divide by it).
+
+    `lut="select"` evaluates the blackbody curve gather-free
+    (temperature_to_color_select) — the multires epilogue path.
     """
     r = jnp.sqrt(jnp.sum(hit_pos * hit_pos, axis=-1))
     g = redshift_factor(hit_pos, ray_direction, observer_r, rs)
     g = jnp.maximum(g, 1e-3)
     t_emit = disk_temperature(r, params.r_isco, params.t_isco)
     t_obs = t_emit / g
-    color = temperature_to_color(t_obs, lut)
+    if isinstance(lut, str) and lut == "select":
+        color = temperature_to_color_select(t_obs)
+    else:
+        color = temperature_to_color(t_obs, lut)
     beaming = 1.0 / (g * g * g)
     # radial intensity falloff so the outer edge fades smoothly
     edge = jnp.clip((params.r_outer - r) / (params.r_outer - params.r_isco), 0.0, 1.0)

@@ -84,6 +84,8 @@ def render_multires(
     camera,
     scene,
     skybox=None,
+    disk_params=None,
+    blackbody_lut=None,
     *,
     config: TraceConfig = TraceConfig(),
     divisor: int = 3,
@@ -103,11 +105,19 @@ def render_multires(
     """Render one frame with 1/divisor-resolution geodesics (+ edge fix-up).
 
     Returns uint8 (H, W, 4), or the packed u32 (H, W) frame when
-    `packed=True`. Disk and debug modes need full per-pixel hit state and
-    are not supported here — use the full-resolution path for those.
+    `packed=True`.
+
+    Disk configs (round 3): the low pass runs with the disk enabled, the
+    hit-POSITION planes are bilinearly upsampled alongside the deflection
+    field (the hit field is smooth inside the disk annulus; every
+    mixed-status support lands in the edge mask and is re-traced at full
+    resolution), and shading evaluates the exact emission model per full-res
+    pixel on the interpolated hit state. Pass `disk_params`/`blackbody_lut`
+    (models/disk.py) with a `config.disk` TraceConfig. Debug (heatmap)
+    modes need true per-pixel step counts and stay unsupported.
     """
-    if config.disk:
-        raise ValueError("multires does not support the accretion disk")
+    if config.disk and disk_params is None:
+        raise ValueError("config.disk needs disk_params + blackbody_lut")
     if scene.debug_mode != 0:
         raise ValueError("multires does not support debug modes")
     if interpret is None:
@@ -147,6 +157,13 @@ def render_multires(
     vx = upsample_bilinear(lvx, divisor, out_shape)
     vy = upsample_bilinear(lvy, divisor, out_shape)
     vz = upsample_bilinear(lvz, divisor, out_shape)
+    if config.disk:
+        # hit-position planes for the disk emission model; smooth wherever
+        # the 2x2 support shares a status (mixed supports are edge-fixed)
+        pos_up = [
+            upsample_bilinear(low.final_pos[..., k], divisor, out_shape)
+            for k in range(3)
+        ]
     status_up = jnp.repeat(
         jnp.repeat(low.status, divisor, axis=0), divisor, axis=1
     )[: height, : width]
@@ -168,11 +185,20 @@ def render_multires(
         vy = jnp.where(em, fix.final_vel[..., 1], vy)
         vz = jnp.where(em, fix.final_vel[..., 2], vz)
         status = jnp.where(em, fix.status, status_up)
+        if config.disk:
+            pos_up = [
+                jnp.where(em, fix.final_pos[..., k], pos_up[k])
+                for k in range(3)
+            ]
     else:
         status = status_up
 
     result = TraceResult(
-        final_pos=jnp.zeros((height, width, 3), jnp.float32),
+        final_pos=(
+            jnp.stack(pos_up, axis=-1)
+            if config.disk
+            else jnp.zeros((height, width, 3), jnp.float32)
+        ),
         final_vel=jnp.stack([vx, vy, vz], axis=-1),
         status=status,
         steps=jnp.zeros((height, width), jnp.int32),
@@ -213,5 +239,18 @@ def render_multires(
         background = functools.partial(
             sample_equirect_packed, skybox, filter=texture_filter
         )
-    frame = shade_planes_packed(result, background, scene.max_steps)
+    del blackbody_lut  # the multires epilogue must stay gather-free: the
+    # LUT evaluates as a clamp-sum select chain instead (~0.3 ms at 1080p
+    # vs ~30 ms for the two-gather lerp; models/disk.py
+    # temperature_to_color_select)
+    frame = shade_planes_packed(
+        result,
+        background,
+        scene.max_steps,
+        bh_pos=scene.black_hole_position,
+        rs=scene.schwarzschild_radius,
+        camera_position=camera.position,
+        disk_params=disk_params,
+        blackbody_lut="select" if config.disk else None,
+    )
     return frame if packed else unpack_frame(frame)

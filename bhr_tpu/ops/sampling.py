@@ -327,17 +327,11 @@ def sample_equirect_packed_luma(tex_pair, vx, vy, vz, status, chroma_sub: int = 
     w = luma_cp.shape[1]
     out_shape = vx.shape
 
-    # exact bilinear luma, full resolution: one gather per pixel
+    # exact bilinear luma footprint, full resolution: one index per pixel
     u, v = _equirect_uv(vx, vy, vz)
     x0, y0f, fx, fy = _footprint(u, v, w, h)
     row = jnp.clip(y0f + 1, 0, h)
-    word = jnp.take(luma_cp.reshape(-1), row * w + x0)
-    s = jnp.float32(1.0 / 255.0)
-    t00 = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
-    t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
-    t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
-    t11 = (word >> 24).astype(jnp.float32) * s
-    luma = _lerp2d(t00, t10, t01, t11, fx, fy)
+    idx_l = (row * w + x0).reshape(-1)
 
     # nearest chroma on the subsampled grid (smooth content); decimation
     # via one-hot MXU matmuls (strided slices are ~10 ns/element)
@@ -345,9 +339,27 @@ def sample_equirect_packed_luma(tex_pair, vx, vy, vz, status, chroma_sub: int = 
 
     sub = max(int(chroma_sub), 1)
     us, vs = (subsample_mm(p, sub) if sub > 1 else p for p in (u, v))
+    sub_shape = us.shape
     xn = jnp.mod(jnp.floor(us * w).astype(jnp.int32), w)
     yn = jnp.clip(jnp.floor(vs * h).astype(jnp.int32), 0, h - 1)
-    cword = jnp.take(chroma.reshape(-1), yn * w + xn)
+    idx_c = (yn * w + xn).reshape(-1)
+
+    # ONE merged take over [luma table | chroma table] (each take op
+    # carries ~2.6 ms fixed overhead on v5e — scripts/sampler_bench.py;
+    # the 84 MB table concat is a ~0.1 ms HBM copy per frame)
+    luma_flat = luma_cp.reshape(-1)
+    off = luma_flat.shape[0]
+    combined = jnp.concatenate([luma_flat, chroma.reshape(-1)])
+    words = jnp.take(combined, jnp.concatenate([idx_l, idx_c + off]))
+    word = words[: idx_l.size].reshape(out_shape)
+    cword = words[idx_l.size :].reshape(sub_shape)
+
+    s = jnp.float32(1.0 / 255.0)
+    t00 = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    t11 = (word >> 24).astype(jnp.float32) * s
+    luma = _lerp2d(t00, t10, t01, t11, fx, fy)
 
     def cchan(sh):
         q = ((cword >> sh) & jnp.uint32(0x1FF)).astype(jnp.int32) - 256

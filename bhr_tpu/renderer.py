@@ -413,8 +413,8 @@ class BlackHoleRenderer:
         # render_frames_scan / app --multires): 0 = full resolution.
         # render_frame stays full-res; use render_frame_multires for
         # single frames.
-        if multires and (disk or int(multires) < 0):
-            raise ValueError("multires requires a disk-free config and >= 0")
+        if multires and int(multires) < 0:
+            raise ValueError("multires divisor must be >= 0")
         self.multires = int(multires)
         self._lut = jax.device_put(blackbody_lut(), self.context.device) if disk else None
         # static-camera deflection caching (reference roadmap Phase 4-4,
@@ -592,7 +592,9 @@ class BlackHoleRenderer:
         field / texture shades at FULL resolution on the interpolated
         deflection field, so only the lensing geometry is coarse. ~1.35x
         faster than render_frame at the 1080p x 500 headline (6.99 vs
-        9.43 ms on v5e); not available for disk or debug modes."""
+        9.43 ms on v5e). Disk configs interpolate the hit-position field
+        the same way (ops/multires.py docstring); debug modes are not
+        supported."""
         from .ops.multires import render_multires
 
         camera = camera if camera is not None else self.camera
@@ -600,8 +602,12 @@ class BlackHoleRenderer:
         if scene.screen_width != self.width or scene.screen_height != self.height:
             scene = scene.replace(screen_width=self.width, screen_height=self.height)
         kw.setdefault("texture_subsample", self.texture_subsample)
+        disk_params = (
+            DiskParams.for_scene(scene.schwarzschild_radius)
+            if self.config.disk else None
+        )
         frame = render_multires(
-            camera, scene, self.skybox,
+            camera, scene, self.skybox, disk_params, self._lut,
             config=self.config, divisor=divisor,
             texture_filter=self._sample_filter, seed=self.skybox_seed,
             interpret=self.interpret, fast_math=self.fast_math, **kw,

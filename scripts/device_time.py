@@ -7,11 +7,13 @@ dispatch overhead); the reference reads real GPU timestamps
 (src/main.rs:887-921). This script renders frames under
 jax.profiler.trace, parses the emitted Perfetto trace, and sums the
 device-lane XLA-module execution durations — actual on-device time — then
-cross-checks it against the calibrated estimate and the fused-scan slope.
+cross-checks it against a two-length fused-scan slope (the dispatch
+constant cancels; single host brackets can include 0.2-0.8 s of tunnel
+latency, so the calibrated bracket estimate is reported but not asserted).
 
 Usage: python scripts/device_time.py [n_frames]
-Prints one JSON line; exits 1 if profiler time and calibrated estimate
-disagree by more than 2x (the sanity contract).
+Prints one JSON line; exits 1 if profiler time and the slope disagree by
+more than 2x (the sanity contract).
 """
 
 import glob
@@ -94,16 +96,34 @@ def main():
         jax.block_until_ready(frames)
         return frames
 
-    # warm: compile + init the device->host channel
+    # wide delta + best-of-2 per length: per-dispatch tunnel jitter is
+    # 0.2-0.8 s, so the frame delta must dwarf it (bench.py protocol)
+    n_hi = n_frames * 8
+
+    # warm: compile both scan lengths + init the device->host channel
     f = run(n_frames, 0)
     _ = jax.device_get(f[0, 0, 0])
+    run(n_hi, 0)
     overhead_ms = calibrate_dispatch_overhead_ms()
 
-    # calibrated host-bracket estimate
+    # calibrated host-bracket estimate (single dispatch). The tunnel's
+    # per-dispatch latency varies 0.2-0.8 s, so this can overshoot badly —
+    # reported for reference, NOT the sanity contract.
     t0 = time.perf_counter()
     run(n_frames, 1000)
     bracket_ms = (time.perf_counter() - t0) * 1000.0
     est_ms = max(bracket_ms - overhead_ms, 0.0) / n_frames
+
+    # two-length slope: the dispatch constant cancels (the headline bench
+    # methodology) — this is what the profiler number must agree with
+    def timed(n, start):
+        t0 = time.perf_counter()
+        run(n, start)
+        return (time.perf_counter() - t0) * 1000.0
+
+    t_lo = min(timed(n_frames, 3000), timed(n_frames, 4000))
+    t_hi = min(timed(n_hi, 3000), timed(n_hi, 4000))
+    slope_ms = max(t_hi - t_lo, 0.0) / (n_hi - n_frames)
 
     # profiler-derived device time
     logdir = tempfile.mkdtemp(prefix="bhr_profile_")
@@ -118,12 +138,13 @@ def main():
         "profiler_device_ms": round(dev_ms, 3) if dev_ms else None,
         "profiler_lane": source,
         "profiler_events": n_events,
+        "slope_ms": round(slope_ms, 3),
         "calibrated_estimate_ms": round(est_ms, 3),
         "dispatch_overhead_ms": round(overhead_ms, 1),
         "frames": n_frames,
         "logdir": logdir,
     }
-    ok = dev_ms is not None and (0.5 <= dev_ms / max(est_ms, 1e-9) <= 2.0)
+    ok = dev_ms is not None and (0.5 <= dev_ms / max(slope_ms, 1e-9) <= 2.0)
     out["agrees_within_2x"] = bool(ok)
     print(json.dumps(out), flush=True)
     return 0 if ok else 1

@@ -41,6 +41,11 @@ CONFIGS = {
 }
 
 
+# a mismatch above this many u8 levels cannot be a ±1 quantization flip;
+# the chaotic-amplification claim is asserted for these only
+LARGE_THRESH = 16
+
+
 def status_boundary_mask(status):
     """Pixels whose 4-neighborhood contains a different termination status."""
     b = np.zeros(status.shape, bool)
@@ -84,7 +89,7 @@ def boundary_distance_stats(status, mismatched, cap=64):
     return int(md.max()), float((md <= 2).mean())
 
 
-def run_config(idx, out_dir, fast_math):
+def run_config(idx, out_dir, fast_math, check=False):
     import jax.numpy as jnp
 
     from bhr_tpu import BlackHoleRenderer, Camera, SceneParams
@@ -120,8 +125,14 @@ def run_config(idx, out_dir, fast_math):
     linf_u8 = int(diff.max())
     mismatch = float((diff.max(axis=-1) > 0).mean())
 
-    # localization proof: every mismatched pixel must sit on/next to a
-    # termination-status boundary (the chaotic-amplification claim)
+    # localization proof: LARGE mismatches must sit on/next to a
+    # termination-status boundary (the chaotic-amplification claim).
+    # diff > 0 also counts benign ±1-LSB quantization flips — the kernel
+    # fuses shading while the oracle stages it, so escape-direction LSBs
+    # differ everywhere and any value near a u8 rounding edge can flip by
+    # one level in a region interior. Those are reported separately and
+    # are NOT expected to localize; only the chaotic amplification
+    # (> LARGE_THRESH levels) is.
     from bhr_tpu.ops.pallas_trace import pallas_trace_image
 
     result = pallas_trace_image(
@@ -132,6 +143,8 @@ def run_config(idx, out_dir, fast_math):
     max_bdist, frac_within2 = boundary_distance_stats(
         status, diff.max(axis=-1) > 0
     )
+    large = diff.max(axis=-1) > LARGE_THRESH
+    large_bdist, large_within2 = boundary_distance_stats(status, large)
 
     if idx == 1 and out_dir:
         from PIL import Image
@@ -149,6 +162,9 @@ def run_config(idx, out_dir, fast_math):
                 "mismatched_pixel_frac": round(mismatch, 6),
                 "max_px_to_status_boundary": max_bdist,
                 "frac_mismatches_within_2px_of_boundary": round(frac_within2, 4),
+                "large_mismatch_frac": round(float(large.mean()), 8),
+                "large_mismatch_max_px_to_boundary": large_bdist,
+                "large_mismatch_frac_within_2px": round(large_within2, 4),
                 "kernel_backend": kernel.device.platform,
                 "kernel_fast_math": bool(fast_math),
                 "kernel_tile": list(tile) if tile else None,
@@ -160,6 +176,12 @@ def run_config(idx, out_dir, fast_math):
         ),
         flush=True,
     )
+    if check and large.any() and large_within2 < 1.0:
+        raise SystemExit(
+            f"{name}: large (> {LARGE_THRESH} u8) mismatches NOT all within "
+            f"2 px of a status boundary (frac={large_within2:.4f}, "
+            f"max dist={large_bdist})"
+        )
 
 
 def main():
@@ -169,6 +191,9 @@ def main():
     p.add_argument("--configs", help="comma-separated config indices (1-5)")
     p.add_argument("--fast-math", action="store_true",
                    help="diff the fast-math kernel tier instead of exact")
+    p.add_argument("--check", action="store_true",
+                   help="exit nonzero unless every large mismatch sits "
+                        "within 2 px of a status boundary")
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -179,7 +204,7 @@ def main():
     else:
         idxs = [1]
     for i in idxs:
-        run_config(i, args.out_dir, args.fast_math)
+        run_config(i, args.out_dir, args.fast_math, check=args.check)
     return 0
 
 

@@ -72,10 +72,15 @@ def main():
         ("bilinear_texsub2", dict(filter="bilinear", texsub=2)),
         ("bilinear_checker_mr3", dict(filter="bilinear", texsub="checker", multires=3)),
         ("nearest_checker_mr3", dict(filter="nearest", texsub="checker", multires=3)),
+        ("nearest_texsub2_mr3", dict(filter="nearest", texsub=2, multires=3)),
+        ("luma", dict(filter="luma")),
+        ("luma_mr3", dict(filter="luma", multires=3)),
     ]
     for name, kw in tiers:
         f = render(**kw).astype(np.int32)
-        own = kw["filter"]
+        # the luma tier's quality bar is exact bilinear (its luminance IS
+        # exact bilinear; only chroma is approximated)
+        own = "bilinear" if kw["filter"] == "luma" else kw["filter"]
         lf = f[..., :3].mean(-1)
         diff = np.abs(refs[own][..., :3] - f[..., :3])
         print(

@@ -192,4 +192,4 @@ def test_app_multires_flag(tmp_path, monkeypatch):
         assert rc == 0
         assert len(os.listdir(out)) == 2
     with pytest.raises(SystemExit, match="multires"):
-        main(["--frames", "1", "--multires", "2", "--disk"])
+        main(["--frames", "1", "--multires", "2", "--debug-steps"])

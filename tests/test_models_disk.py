@@ -100,3 +100,34 @@ def test_procedural_background_scale_invariant():
     b = procedural_background(d[:, 0] * 5, d[:, 1] * 5, d[:, 2] * 5)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_select_lut_matches_gather_lut():
+    """The gather-free clamp-sum LUT (multires epilogue) tracks the 512-entry
+    gather lerp within ~1.5 u8 levels across the whole temperature range,
+    and is EXACT (same piecewise-linear curve) at coarse=LUT_STEPS."""
+    from bhr_tpu.models.disk import (
+        LUT_STEPS,
+        LUT_T_MAX,
+        LUT_T_MIN,
+        temperature_to_color,
+        temperature_to_color_select,
+    )
+
+    t = jnp.linspace(LUT_T_MIN - 500.0, LUT_T_MAX + 500.0, 4001)
+    ref = np.asarray(temperature_to_color(t))
+    full = np.asarray(temperature_to_color_select(t, coarse=LUT_STEPS))
+    np.testing.assert_allclose(full, ref, atol=2e-6)
+    coarse = np.asarray(temperature_to_color_select(t, coarse=64))
+    assert np.abs(coarse - ref).max() < 1.5 / 255.0
+
+
+def test_disk_emission_select_mode_close():
+    from bhr_tpu.models.disk import DiskParams, blackbody_lut, disk_emission
+
+    params = DiskParams.for_scene(2.0)
+    pos = jnp.asarray([[7.0, 0.0, 1.0], [-12.0, 0.0, 3.0]])
+    d = jnp.asarray([[0.0, 1.0, 0.0], [0.5, 0.5, 0.0]])
+    a = np.asarray(disk_emission(pos, d, 15.0, 2.0, params, blackbody_lut()))
+    b = np.asarray(disk_emission(pos, d, 15.0, 2.0, params, "select"))
+    assert np.abs(a - b).max() < 0.02

@@ -121,10 +121,40 @@ def test_multires_matches_full_render_within_budget(divisor):
     assert (diff.max(axis=-1) > 16).mean() < 0.04, "too many off pixels"
 
 
-def test_multires_rejects_disk():
+def test_multires_disk_matches_full_render_within_budget():
+    """Disk configs (round 3): the hit-position field is upsampled alongside
+    the deflection field; status boundaries (disk rim, shadow edge) are
+    re-traced at full resolution by the edge fix-up. Error budget mirrors
+    the disk-free test."""
+    from bhr_tpu.models.disk import DiskParams, blackbody_lut
+
+    cam = Camera.new([0.0, 3.0, 20.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = _scene(96, 66, 300)
+    cfg = TraceConfig(disk=True)
+    dp = DiskParams.for_scene(scene.schwarzschild_radius)
+    lut = blackbody_lut()
+    full = np.asarray(
+        render_image(
+            cam, scene, None, dp, lut, config=cfg,
+            use_pallas=True, tile=(8, 128), fast_math=True,
+            tonemap="passthrough", interpret=True,
+        )
+    ).astype(np.int32)
+    multi = np.asarray(
+        render_multires(
+            cam, scene, None, dp, lut, config=cfg, divisor=2,
+            interpret=True, tile=(8, 128),
+        )
+    ).astype(np.int32)
+    diff = np.abs(full[..., :3] - multi[..., :3])
+    assert diff.mean() < 3.0, f"mean u8 error {diff.mean()}"
+    assert (diff.max(axis=-1) > 16).mean() < 0.04, "too many off pixels"
+
+
+def test_multires_disk_requires_params():
     cam = Camera.default()
     scene = _scene()
-    with pytest.raises(ValueError, match="disk"):
+    with pytest.raises(ValueError, match="disk_params"):
         render_multires(cam, scene, None, config=TraceConfig(disk=True),
                         interpret=True)
 
