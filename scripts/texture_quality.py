@@ -75,6 +75,9 @@ def main():
         ("nearest_texsub2_mr3", dict(filter="nearest", texsub=2, multires=3)),
         ("luma", dict(filter="luma")),
         ("luma_mr3", dict(filter="luma", multires=3)),
+        ("luma_sub4", dict(filter="luma", texsub=4)),
+        ("luma_sub4_mr3", dict(filter="luma", texsub=4, multires=3)),
+        ("luma_sub8_mr3", dict(filter="luma", texsub=8, multires=3)),
     ]
     for name, kw in tiers:
         f = render(**kw).astype(np.int32)
