@@ -249,9 +249,14 @@ def _per_frame_loop(args, renderer, scene, stats, logger) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    from .utils.compile_cache import enable_compile_cache
+    if not args.perf_log:
+        # amortize remote TPU compiles across processes — but NOT for
+        # perf-logged runs: a cache-identical executable lets the remote
+        # executor replay identical-content dispatches from earlier
+        # processes, corrupting the recorded timings (see bench.py)
+        from .utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()  # amortize remote TPU compiles across processes
+        enable_compile_cache()
 
     import logging
 
