@@ -224,7 +224,9 @@ class PathAnimator:
         while done < n_frames:
             n = min(chunk_size, n_frames - done)
             frames = self.render_frames(n, fps, start_frame + done, scene, packed=True)
-            host = np.asarray(jax.device_get(frames)).view(np.uint8)
+            # ascontiguousarray: padded-layout TPU outputs device_get as
+            # strided views, which .view(uint8) rejects
+            host = np.ascontiguousarray(jax.device_get(frames)).view(np.uint8)
             host = host.reshape(host.shape[0], host.shape[1], -1, 4)
             for k in range(n):
                 idx = start_frame + done + k

@@ -171,7 +171,10 @@ def _chunked_loop(args, renderer, scene, stats, logger, chunk) -> int:
         host_ms = 0.0
         if args.out:
             t_h0 = time.perf_counter()
-            host = np.asarray(jax.device_get(frames)).view(np.uint8)
+            # ascontiguousarray: device_get of a padded-layout TPU output
+            # (width not a lane multiple) can return a strided view, which
+            # .view(uint8) rejects
+            host = np.ascontiguousarray(jax.device_get(frames)).view(np.uint8)
             host = host.reshape(host.shape[0], host.shape[1], -1, 4)
             for k in range(n_use):
                 _write_host_frame(args, host[k], frame_idx + k, stats)

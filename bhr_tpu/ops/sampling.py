@@ -75,6 +75,20 @@ def _unpack_rgb(word):
 
 
 
+def _corner_layout(tex) -> str | None:
+    """Identify a corner-packed exact-bilinear table by shape.
+
+    "rows"   — interleaved (H+1, W, 3) (corner_pack_texture_rows);
+    "planes" — planar (3, H+1, W) (corner_pack_texture);
+    None     — plain packed (H, W).
+    (A 3-texel-wide planar table would be ambiguous; equirect textures are
+    never 3 px wide.)
+    """
+    if tex.ndim != 3:
+        return None
+    return "rows" if tex.shape[-1] == 3 else "planes"
+
+
 def _footprint(u, v, w, h):
     """Shared bilinear sample-footprint math: (x0, y0f_int, fx, fy).
 
@@ -118,8 +132,11 @@ def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
       filter="nearest"  — wgpu FilterMode::Nearest semantics, 1 flat gather
                           (~15 ms at 1080p): the real-time texture tier.
     """
-    if packed_texture.ndim == 3:
-        # corner-packed exact-bilinear texture (corner_pack_texture)
+    layout = _corner_layout(packed_texture)
+    if layout == "rows":
+        h = packed_texture.shape[0] - 1
+        w = packed_texture.shape[1]
+    elif layout == "planes":
         h = packed_texture.shape[1] - 1
         w = packed_texture.shape[2]
     else:
@@ -127,9 +144,11 @@ def sample_equirect_packed(packed_texture: jnp.ndarray, dx, dy, dz,
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     u = 0.5 + jnp.arctan2(dz, dx) / jnp.float32(6.28318530718)
     v = 0.5 - jnp.arcsin(jnp.clip(dy * inv, -1.0, 1.0)) / jnp.float32(3.14159265359)
-    if packed_texture.ndim == 3:
+    if layout is not None:
         if filter != "bilinear":
             raise ValueError("corner-packed textures are bilinear-only")
+        if layout == "rows":
+            return _sample_corner_rows(packed_texture, u, v)
         return _sample_corner_packed(packed_texture, u, v)
     flat = packed_texture.reshape(-1)
     if filter == "nearest":
@@ -183,6 +202,63 @@ def corner_pack_texture(packed: jnp.ndarray) -> jnp.ndarray:
         top = c[0:1] | (right[0:1] << 8) | (c[0:1] << 16) | (right[0:1] << 24)
         planes.append(jnp.concatenate([top, core], axis=0))
     return jnp.stack(planes)
+
+
+def corner_pack_texture_rows(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed-u32 (H, W) equirect texture -> interleaved corner rows
+    (H+1, W, 3) u32: row-major footprint f = (row, u) holds the THREE
+    channel corner-words of corner_pack_texture side by side.
+
+    Why a third layout: gather cost on TPU is per-INDEX, not per-word —
+    a `jnp.take(table, idx, axis=0)` row gather moving a 3-word slice per
+    index prices the same as a 1-word flat take (scripts/rowgather_bench.py:
+    k=3 row take 17.7 ms vs 42.6 ms for 3 flat takes at 2.07M indices).
+    Packing a footprint's three channel corner-words contiguously makes
+    EXACT bilinear cost ONE gather per pixel — same index count as the
+    nearest tier — instead of the planar layout's three.
+
+    Same 3x HBM footprint as the planar layout; bit-identical sampling
+    (the corner words are the same, only their addresses change).
+    """
+    h, w = packed.shape
+    planes = []
+    for shift in (0, 8, 16):
+        c = (packed >> shift) & jnp.uint32(0xFF)
+        right = jnp.roll(c, -1, axis=1)  # x1 = (x0 + 1) mod W: Repeat-U
+        down = jnp.concatenate([c[1:], c[h - 1 : h]], axis=0)  # Clamp-V
+        down_right = jnp.roll(down, -1, axis=1)
+        core = c | (right << 8) | (down << 16) | (down_right << 24)
+        top = c[0:1] | (right[0:1] << 8) | (c[0:1] << 16) | (right[0:1] << 24)
+        planes.append(jnp.concatenate([top, core], axis=0))
+    return jnp.stack(planes, axis=-1)
+
+
+def _sample_corner_rows(cr: jnp.ndarray, u, v):
+    """Exact bilinear from interleaved corner rows (H+1, W, 3): ONE gather.
+
+    Bit-identical to _sample_corner_packed / the 4-gather path — identical
+    corner words and lerp expression trees; only the HBM access changes
+    (one slice-3 row take instead of three flat takes)."""
+    h = cr.shape[0] - 1
+    w = cr.shape[1]
+    out_shape = u.shape
+    x0, y0f, fx, fy = _footprint(u, v, w, h)
+    row = jnp.clip(y0f + 1, 0, h)
+    idx = (row * w + x0).reshape(-1)
+    # one per-index slice-3 row gather; channel extraction by minor-dim
+    # slicing (measured fastest of the epilogue forms on v5e — an explicit
+    # transpose to (3, P) costs ~6 ms more; scripts/bilinear_ab.py)
+    words = jnp.take(cr.reshape(-1, 3), idx, axis=0).reshape(out_shape + (3,))
+    s = jnp.float32(1.0 / 255.0)
+    out = []
+    for c in range(3):
+        word = words[..., c]
+        t00 = (word & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        t10 = ((word >> 8) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        t01 = ((word >> 16) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        t11 = (word >> 24).astype(jnp.float32) * s
+        out.append(_lerp2d(t00, t10, t01, t11, fx, fy))
+    return tuple(out)
 
 
 def _sample_corner_packed(cp: jnp.ndarray, u, v):
@@ -426,7 +502,10 @@ def sample_equirect_packed_checkerboard(
     dirs_e = tuple(subsample_mm(p, 2, 0) for p in (vx, vy, vz))
     dirs_o = tuple(subsample_mm(p, 2, 1) for p in (vx, vy, vz))
 
-    if packed_texture.ndim == 3:
+    layout = _corner_layout(packed_texture)
+    if layout == "rows":
+        th_, tw_ = packed_texture.shape[0] - 1, packed_texture.shape[1]
+    elif layout == "planes":
         th_, tw_ = packed_texture.shape[1] - 1, packed_texture.shape[2]
     else:
         th_, tw_ = packed_texture.shape
@@ -434,7 +513,7 @@ def sample_equirect_packed_checkerboard(
     def gather_pair(de, do):
         ue, ve = _equirect_uv(*de)
         uo, vo = _equirect_uv(*do)
-        if filter == "nearest" and packed_texture.ndim == 2:
+        if filter == "nearest" and layout is None:
             def nearest_idx(u, v):
                 xn = jnp.mod(jnp.floor(u * tw_).astype(jnp.int32), tw_)
                 yn = jnp.clip(jnp.floor(v * th_).astype(jnp.int32), 0, th_ - 1)
@@ -447,8 +526,8 @@ def sample_equirect_packed_checkerboard(
             we_ = _unpack_rgb(words[: he * we].reshape(he, we))
             wo_ = _unpack_rgb(words[he * we :].reshape(ho, wo))
             return we_, wo_
-        # bilinear tiers: corner-packed (3 takes) per set — merge per channel
-        if packed_texture.ndim == 3:
+        # bilinear tiers: corner-packed per set — merge both sets' indices
+        if layout is not None:
             def corner_idx(u, v):
                 x0, y0f, fx, fy = _footprint(u, v, tw_, th_)
                 row = jnp.clip(y0f + 1, 0, th_)
@@ -457,9 +536,16 @@ def sample_equirect_packed_checkerboard(
             ie, fxe, fye = corner_idx(ue, ve)
             io, fxo, fyo = corner_idx(uo, vo)
             set_idx = jnp.concatenate([ie.reshape(-1), io.reshape(-1)])
-            plane_sz = (th_ + 1) * tw_
-            flat_idx = jnp.stack([set_idx + c * plane_sz for c in range(3)])
-            words3 = jnp.take(packed_texture.reshape(-1), flat_idx)
+            if layout == "rows":
+                # one slice-3 row gather for both checker sets
+                words3 = jnp.transpose(
+                    jnp.take(packed_texture.reshape(-1, 3), set_idx, axis=0),
+                    (1, 0),
+                )
+            else:
+                plane_sz = (th_ + 1) * tw_
+                flat_idx = jnp.stack([set_idx + c * plane_sz for c in range(3)])
+                words3 = jnp.take(packed_texture.reshape(-1), flat_idx)
             s = jnp.float32(1.0 / 255.0)
             out_e, out_o = [], []
             for c in range(3):

@@ -395,12 +395,13 @@ class BlackHoleRenderer:
                 pack_texture_rgba8(tex), self.context.device
             )
             if texture_filter == "bilinear":
-                # exact bilinear at 3 gathers/pixel instead of 4: each
-                # channel plane packs the full 4-corner footprint per word
-                # (ops/sampling.corner_pack_texture)
-                from .ops.sampling import corner_pack_texture
+                # exact bilinear at ONE slice-3 row gather/pixel: the three
+                # channel corner-words of a footprint sit contiguously, and
+                # TPU gathers price per index, not per word
+                # (ops/sampling.corner_pack_texture_rows)
+                from .ops.sampling import corner_pack_texture_rows
 
-                packed = jax.jit(corner_pack_texture)(packed)
+                packed = jax.jit(corner_pack_texture_rows)(packed)
             elif texture_filter == "luma":
                 # exact-bilinear LUMINANCE at 1 gather/pixel + subsampled
                 # chroma (ops/sampling.luma_pack_texture)

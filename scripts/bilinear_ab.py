@@ -53,10 +53,13 @@ def main():
         pack_texture_rgba8,
     )
 
+    from bhr_tpu.ops.sampling import corner_pack_texture_rows
+
     H, W = 1080, 1920
     sky = procedural_starfield(2048, 4096, seed=2020)
     packed = jnp.asarray(pack_texture_rgba8(sky))
     cp = jax.jit(corner_pack_texture)(packed)
+    cr = jax.jit(corner_pack_texture_rows)(packed).reshape(-1, 3)
     th, tw = cp.shape[1] - 1, cp.shape[2]
     plane_sz = (th + 1) * tw
     cp_flat = cp.reshape(-1)
@@ -113,11 +116,29 @@ def main():
         ]
         return pack_rgb(*chans)
 
+    def rows_slice3(s):
+        idx, fx, fy = footprint_idx(s)
+        words = jnp.take(cr, idx.reshape(-1), axis=0)
+        planes = jnp.transpose(words, (1, 0)).reshape(3, H, W)
+        return pack_rgb(*(lerp_word(planes[c], fx, fy) for c in range(3)))
+
+    def rows_slice3_nt(s):
+        # no-transpose variant: lerp directly on the channel-minor result
+        idx, fx, fy = footprint_idx(s)
+        words = jnp.take(cr, idx.reshape(-1), axis=0).reshape(H, W, 3)
+        chans = [lerp_word(words[..., c], fx, fy) for c in range(3)]
+        return pack_rgb(*chans)
+
+    only = os.environ.get("BHR_AB_ONLY", "")
     for name, fn in (
+        ("rows_slice3_transpose", rows_slice3),
+        ("rows_slice3_chanminor", rows_slice3_nt),
         ("merged_stacked_3xHW", merged_stacked),
         ("merged_flat_1d_6M", merged_flat1d),
         ("three_separate_takes", three_takes),
     ):
+        if only and only not in name:
+            continue
         try:
             ms = slope_ms(fn)
             print(json.dumps({"variant": name, "ms": round(ms, 3)}), flush=True)

@@ -100,6 +100,67 @@ def test_corner_packed_bit_matches_four_gather():
     np.testing.assert_array_equal(a, b)
 
 
+def test_corner_rows_bit_matches_four_gather():
+    """The interleaved corner-rows bilinear (one slice-3 row gather — the
+    renderer's bilinear tier since round 3) must be BIT-identical to both
+    the 4-gather path and the planar 3-gather corner layout. Pole-heavy
+    directions exercise the clamp rows."""
+    import jax
+
+    from bhr_tpu.ops.sampling import (
+        corner_pack_texture,
+        corner_pack_texture_rows,
+    )
+
+    tex = _tex(16, 32, seed=7)
+    packed = pack_texture_rgba8(tex)
+    cr = jax.jit(corner_pack_texture_rows)(packed)
+    assert cr.shape == (17, 32, 3)
+    # the interleaved rows hold the SAME corner words as the planar layout
+    cp = jax.jit(corner_pack_texture)(packed)
+    np.testing.assert_array_equal(
+        np.asarray(cr), np.transpose(np.asarray(cp), (1, 2, 0))
+    )
+    rng = np.random.RandomState(5)
+    d = rng.randn(4000, 3).astype(np.float32)
+    d[:400, 1] = np.abs(d[:400, 1]) * 50.0 + 50.0
+    d[400:800, 1] = -(np.abs(d[400:800, 1]) * 50.0 + 50.0)
+    dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
+    a = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
+    b = np.stack(sample_equirect_packed(cr, dx, dy, dz), -1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_corner_rows_checkerboard_matches_planar():
+    """The checkerboard sampler produces identical frames from the rows
+    layout and the planar layout (same corner words, same reconstruction)."""
+    import jax
+
+    from bhr_tpu.ops.sampling import (
+        corner_pack_texture,
+        corner_pack_texture_rows,
+        sample_equirect_packed_checkerboard,
+    )
+
+    tex = _tex(16, 32, seed=11)
+    packed = pack_texture_rgba8(tex)
+    rng = np.random.RandomState(3)
+    d = rng.randn(24, 40, 3).astype(np.float32)
+    planes = tuple(jnp.asarray(d[..., i]) for i in range(3))
+    status = jnp.asarray(
+        (rng.rand(24, 40) < 0.2).astype(np.int32)
+    )  # some captured
+    out = []
+    for pack in (corner_pack_texture, corner_pack_texture_rows):
+        t = jax.jit(pack)(packed)
+        out.append(
+            np.stack(
+                sample_equirect_packed_checkerboard(t, *planes, status), -1
+            )
+        )
+    np.testing.assert_array_equal(out[0], out[1])
+
+
 def test_quantize_rgba8():
     rgb = jnp.asarray([[0.0, 0.5, 1.0], [-0.1, 1.1, 0.25]])
     q = np.asarray(quantize_rgba8(rgb))
