@@ -181,9 +181,15 @@ def _chunked_loop(args, renderer, scene, stats, logger, chunk) -> int:
             host_ms = (time.perf_counter() - t_h0) * 1000.0
 
         frame_ms = bracket_ms / chunk + host_ms / max(n_use, 1)
+        # cpu_time_ms in fused mode = the host's actual per-frame share:
+        # the calibrated dispatch overhead amortized over the chunk plus
+        # any PNG writeback. (The reference's column is per-frame host
+        # cost, main.rs:1048-1056; a fused loop's host is otherwise idle,
+        # so 0.00 would be honest but mean something different.)
+        cpu_ms = overhead_ms / chunk + host_ms / max(n_use, 1)
         for _ in range(n_use):
             stats.record_frame_time_ms(frame_ms)
-            stats.update_cpu_time(host_ms / max(n_use, 1))
+            stats.update_cpu_time(cpu_ms)
             stats.update_gpu_time(device_ms)
             if logger is not None:
                 logger.log_frame(stats)

@@ -65,6 +65,13 @@ def test_sharded_frame_with_corner_packed_skybox(small_skybox):
         BlackHoleRenderer(64, 32, skybox=small_skybox).render_frame(cam, scene)
     )
     np.testing.assert_array_equal(sharded, single)
+    # the interleaved corner-rows layout (the renderer's default bilinear
+    # tier since round 3) replicates the same way
+    from bhr_tpu.ops.sampling import corner_pack_texture_rows
+
+    cr = corner_pack_texture_rows(jnp.asarray(pack_texture_rgba8(small_skybox)))
+    sharded_rows = np.asarray(render_frame_sharded(cam, scene, cr, mesh))
+    np.testing.assert_array_equal(sharded_rows, single)
 
 
 def test_sharded_animation_dp_x_sp():
