@@ -29,9 +29,11 @@ with BHR_BENCH_AUTOTUNE=1 (one-time, ~15 min on the tunneled v5e).
 
 Env knobs: BHR_BENCH_W/H/STEPS/FRAMES/TILE (e.g. TILE=8x512),
 BHR_BENCH_KNOBS=eee,unroll,spc, BHR_BENCH_FAST=0 (exact-parity kernel),
-BHR_BENCH_ORACLE=1 (XLA path), BHR_BENCH_TEXTURE=bilinear|fast (render
-against a 4K equirect texture skybox instead of the analytic star field —
-the reference's actual workload shape).
+BHR_BENCH_ORACLE=1 (XLA path), BHR_BENCH_TEXTURE=bilinear|nearest|luma
+(render against a 4K equirect texture skybox instead of the analytic star
+field — the reference's actual workload shape), BHR_BENCH_TEXSUB=
+2|checker, BHR_BENCH_MULTIRES=N, BHR_BENCH_MODEL/DISK/INTEGRATOR/
+ADAPTIVE/SPIN.
 """
 
 import json
