@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fix-up (roadmap Phase 4-1; ~1.7x faster at N=3, "
                         "SSIM ~0.9995); incompatible with --disk/--debug-steps")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="stream the live render as MJPEG over HTTP on PORT "
+                        "(open http://localhost:PORT/ in a browser) — the "
+                        "headless analog of the reference's winit window + "
+                        "display pass (main.rs:264-1147, display.wgsl)")
     p.add_argument("--fast-math", action=argparse.BooleanOptionalAction, default=True,
                    help="approximate rsqrt/reciprocal in the hot loop — matches "
                         "the GPU shader's fast-math tier, so it is the app-mode "
@@ -169,15 +174,21 @@ def _chunked_loop(args, renderer, scene, stats, logger, chunk) -> int:
             n_use = min(chunk, args.frames - frame_idx)
 
         host_ms = 0.0
-        if args.out:
+        streamer = getattr(args, "_streamer", None)
+        if args.out or streamer is not None:
             t_h0 = time.perf_counter()
             # ascontiguousarray: device_get of a padded-layout TPU output
             # (width not a lane multiple) can return a strided view, which
             # .view(uint8) rejects
             host = np.ascontiguousarray(jax.device_get(frames)).view(np.uint8)
             host = host.reshape(host.shape[0], host.shape[1], -1, 4)
-            for k in range(n_use):
-                _write_host_frame(args, host[k], frame_idx + k, stats)
+            if args.out:
+                for k in range(n_use):
+                    _write_host_frame(args, host[k], frame_idx + k, stats)
+            if streamer is not None:
+                # always-latest semantics: publish the newest frame of the
+                # chunk (a browser can't display 60 fps x chunk anyway)
+                streamer.submit(host[n_use - 1])
             host_ms = (time.perf_counter() - t_h0) * 1000.0
 
         frame_ms = bracket_ms / chunk + host_ms / max(n_use, 1)
@@ -238,9 +249,13 @@ def _per_frame_loop(args, renderer, scene, stats, logger) -> int:
         else:
             frame = renderer.render_frame(camera, scene, timestamp_query=q)
 
-        if args.out:
+        streamer = getattr(args, "_streamer", None)
+        if args.out or streamer is not None:
             host = np.asarray(jax.device_get(frame))
-            _write_host_frame(args, host, frame_idx, stats)
+            if args.out:
+                _write_host_frame(args, host, frame_idx, stats)
+            if streamer is not None:
+                streamer.submit(host)
 
         cpu_ms = (time.perf_counter() - cpu_start) * 1000.0
         stats.update_cpu_time(cpu_ms)
@@ -336,6 +351,13 @@ def main(argv=None) -> int:
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
+    args._streamer = None
+    if args.serve is not None:
+        from .io.viewer import FrameStreamer
+
+        args._streamer = FrameStreamer(args.serve)
+        print(f"Live view: {args._streamer.url}")
+
     frame_idx = 0
     rc = 0
     try:
@@ -357,6 +379,8 @@ def main(argv=None) -> int:
             failures = native.drain()
             if failures:
                 print(f"Warning: {failures} frame write(s) failed")
+        if args._streamer is not None:
+            args._streamer.close()
         if logger is not None:
             logger.close()
 

@@ -193,3 +193,52 @@ def test_app_multires_flag(tmp_path, monkeypatch):
         assert len(os.listdir(out)) == 2
     with pytest.raises(SystemExit, match="multires"):
         main(["--frames", "1", "--multires", "2", "--debug-steps"])
+
+
+def test_viewer_streams_mjpeg():
+    """FrameStreamer serves an index page and MJPEG frames (the headless
+    display-pass analog — reference main.rs:936-962)."""
+    import urllib.request
+
+    import numpy as np
+
+    from bhr_tpu.io.viewer import FrameStreamer, read_one_frame
+
+    s = FrameStreamer(0)  # ephemeral port
+    try:
+        frame = np.zeros((16, 32, 4), np.uint8)
+        frame[4:12, 8:24] = [255, 128, 0, 255]
+        s.submit(frame)
+        idx = urllib.request.urlopen(
+            f"http://127.0.0.1:{s.port}/", timeout=5
+        ).read()
+        assert b"/stream" in idx
+        jpeg = read_one_frame("127.0.0.1", s.port)
+        assert jpeg.startswith(b"\xff\xd8") and jpeg.endswith(b"\xff\xd9")
+        # a second submit wakes waiting clients with a fresh frame
+        s.submit(frame // 2)
+    finally:
+        s.close()
+
+
+def test_app_serve_flag(monkeypatch, tmp_path):
+    """--serve publishes every chunk's newest frame to the streamer
+    (port 0 = ephemeral; the HTTP framing itself is covered by
+    test_viewer_streams_mjpeg)."""
+    from bhr_tpu.io import viewer as viewer_mod
+
+    submitted = []
+    orig_submit = viewer_mod.FrameStreamer.submit
+
+    def spy_submit(self, frame):
+        submitted.append(frame.shape)
+        return orig_submit(self, frame)
+
+    monkeypatch.setattr(viewer_mod.FrameStreamer, "submit", spy_submit)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--frames", "4", "--width", "32", "--height", "16",
+               "--max-steps", "10", "--chunk", "2", "--serve", "0",
+               "--oracle"])
+    assert rc == 0
+    assert len(submitted) == 2  # one publish per 2-frame chunk
+    assert all(s == (16, 32, 4) for s in submitted)
