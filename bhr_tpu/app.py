@@ -82,8 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bilinear", "nearest", "luma"],
                    help="skybox sampling tier (only with --skybox): nearest = "
                         "1 gather/pixel (real-time), bilinear = exact "
-                        "corner-packed 3-gather, luma = exact-bilinear "
-                        "luminance + subsampled chroma at ~1.25 gathers")
+                        "corner-rows slice-3 row gather (1 index/pixel), "
+                        "luma = exact-bilinear luminance + subsampled "
+                        "chroma at ~1.25 indices")
     p.add_argument("--multires", type=int, default=0, metavar="N",
                    help="render with 1/N-resolution geodesics + shadow-edge "
                         "fix-up (roadmap Phase 4-1; ~1.7x faster at N=3, "
