@@ -85,6 +85,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "corner-rows slice-3 row gather (1 index/pixel), "
                         "luma = exact-bilinear luminance + subsampled "
                         "chroma at ~1.25 indices")
+    p.add_argument("--texture-subsample", default="1", metavar="N|checker",
+                   help="texture gather-count reduction (only with --skybox): "
+                        "N>1 samples colors on a 1/N grid of the full-res "
+                        "directions (indices / N^2); 'checker' samples half "
+                        "the pixels exactly and reconstructs the holes "
+                        "(see BENCHMARKS.md texture-tier table for the "
+                        "speed/SSIM frontier)")
+    p.add_argument("--tonemap", default="passthrough",
+                   choices=["passthrough", "reinhard", "srgb"],
+                   help="display transfer curve (the display.wgsl slot; the "
+                        "reference's pass is a plain sample = passthrough)")
     p.add_argument("--multires", type=int, default=0, metavar="N",
                    help="render with 1/N-resolution geodesics + shadow-edge "
                         "fix-up (roadmap Phase 4-1; ~1.7x faster at N=3, "
@@ -311,6 +322,11 @@ def main(argv=None) -> int:
 
     if args.multires and args.debug_steps:
         raise SystemExit("--multires is incompatible with --debug-steps")
+    texsub = (
+        args.texture_subsample
+        if args.texture_subsample == "checker"
+        else int(args.texture_subsample)
+    )
     renderer = BlackHoleRenderer(
         args.width,
         args.height,
@@ -324,6 +340,8 @@ def main(argv=None) -> int:
         kernel_knobs=knobs,
         skybox=args.skybox,
         texture_filter=args.texture_filter,
+        texture_subsample=texsub,
+        tonemap=args.tonemap,
         multires=args.multires,
     )
     chunk = args.chunk if args.chunk > 0 else DEFAULT_CHUNK

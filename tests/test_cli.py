@@ -242,3 +242,28 @@ def test_app_serve_flag(monkeypatch, tmp_path):
     assert rc == 0
     assert len(submitted) == 2  # one publish per 2-frame chunk
     assert all(s == (16, 32, 4) for s in submitted)
+
+
+def test_app_texture_subsample_and_tonemap(tmp_path, monkeypatch):
+    """--texture-subsample and --tonemap flow into the renderer (checker
+    halves the texture index count; reinhard engages the display slot)."""
+    import numpy as np
+    from PIL import Image
+
+    monkeypatch.chdir(tmp_path)
+    sky = np.zeros((8, 16, 4), np.float32)
+    sky[..., :3] = 0.8
+    sky[..., 3] = 1.0
+    Image.fromarray((sky * 255).astype(np.uint8)).save("sky.png")
+    out = str(tmp_path / "frames")
+    rc = main(["--frames", "1", "--width", "32", "--height", "16",
+               "--max-steps", "10", "--skybox", "sky.png",
+               "--texture-filter", "nearest", "--texture-subsample",
+               "checker", "--tonemap", "reinhard", "--out", out,
+               "--oracle"])
+    assert rc == 0
+    frame = np.asarray(Image.open(os.path.join(out, "frame_00000.png")))
+    # reinhard maps the 0.8 sky to ~0.8/1.8: escaped pixels must sit well
+    # below the passthrough value
+    escaped = frame[..., 0][frame[..., 0] > 0]
+    assert escaped.size and escaped.max() <= 140  # 0.8/1.8*255 ~ 113 + lerp slack
