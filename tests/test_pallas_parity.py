@@ -598,3 +598,41 @@ def _check_monolithic_disk(cam, config, spin):
     # jnp.power, and approx reciprocals vs exact divides
     assert diff.max() <= 6, (diff.max(), np.argwhere(diff.max(-1) > 6)[:5])
     assert (diff > 2).mean() < 0.005
+
+
+def test_monolithic_eligibility_matrix():
+    """Regression pin on monolithic_eligible: the BASELINE configs that
+    rely on the fused trace+shade kernel must stay eligible (a silent
+    fall-back to the staged epilogue costs ~1.5-3x per frame), and the
+    documented exclusions must stay excluded."""
+    from bhr_tpu.ops.pallas_trace import monolithic_eligible
+
+    scene = _scene()
+    common = dict(use_pallas=True, skybox=None, disk_params=None,
+                  tonemap="passthrough")
+
+    # headline fast + exact tiers
+    for fast in (True, False):
+        assert monolithic_eligible(
+            TraceConfig(), scene, fast_math=fast, **common)
+    # config 4: rk4 + adaptive + disk, fast tier, fused in-kernel disk
+    assert monolithic_eligible(
+        TraceConfig(integrator="rk4", adaptive=True, disk=True), scene,
+        use_pallas=True, skybox=None, disk_params=object(),
+        tonemap="passthrough", fast_math=True)
+    # config 5: exact Kerr-Schild + disk
+    assert monolithic_eligible(
+        TraceConfig(model="kerr", disk=True), scene,
+        use_pallas=True, skybox=None, disk_params=object(),
+        tonemap="passthrough", fast_math=True)
+    # exclusions: disk on the exact tier (staged LUT parity contract),
+    # texture skybox (gathers are an XLA epilogue), debug heatmap
+    assert not monolithic_eligible(
+        TraceConfig(disk=True), scene, use_pallas=True, skybox=None,
+        disk_params=object(), tonemap="passthrough", fast_math=False)
+    assert not monolithic_eligible(
+        TraceConfig(), scene, use_pallas=True, skybox=object(),
+        disk_params=None, tonemap="passthrough", fast_math=True)
+    dbg = _scene().replace(debug_mode=1)
+    assert not monolithic_eligible(
+        TraceConfig(), dbg, fast_math=True, **common)
