@@ -9,7 +9,7 @@ the per-frame TOTAL against the bench slope.
 
 Usage: python scripts/profile_frame.py [config] [n_frames]
   config in {headline, headline_mr3, rk4disk, rk4disk_mr3, kerr4k,
-  kerr4k_mr3, luma, luma_mr3}; default headline.
+  kerr4k_mr3, luma, luma_mr3, bilinear, bilinear_mr3}; default headline.
 """
 
 import glob
@@ -85,6 +85,11 @@ def main():
         base.update(
             skybox=procedural_starfield(2048, 4096, seed=2020),
             texture_filter="luma",
+        )
+    elif which.startswith("bilinear"):
+        base.update(
+            skybox=procedural_starfield(2048, 4096, seed=2020),
+            texture_filter="bilinear",
         )
     if which.endswith("_mr3"):
         mr = 3
