@@ -186,6 +186,14 @@ def main():
     # sick channel), and the least-degraded pair is the closest estimate of
     # the chip's actual per-frame cost.
     repeats = max(1, int(os.environ.get("BHR_BENCH_REPEATS", "2")))
+    # Optional cooldown between repeats (default OFF). Tried as a fix for
+    # sustained-load throttle (the second back-to-back repeat measures
+    # slower), but measured counterproductive in this environment: after
+    # 20-90 s idle the tunnel/executor pays a reconnect penalty on the
+    # next dispatch, corrupting the first timed scan (slopes of -3 to -39
+    # observed post-sleep) without recovering the unthrottled clock.
+    # Kept as an env knob for directly-attached hosts.
+    cooldown_s = float(os.environ.get("BHR_BENCH_COOLDOWN", "0"))
     slope_ms = single_ms = overhead_ms = None
     all_slopes = []  # every repeat's raw slope, for methodology transparency
     # per-process entropy: no two processes may ever time an identical-
@@ -193,6 +201,8 @@ def main():
     # them, corrupting the slope in either direction)
     entropy = (time.time_ns() // 1_000_000) % 86_400_000 / 10.0
     for rep in range(repeats):
+        if cooldown_s > 0:
+            time.sleep(cooldown_s)
         t0 = time.perf_counter()
         run(n_small, entropy + 10_000 + 40_000 * rep)
         t_small = time.perf_counter() - t0
