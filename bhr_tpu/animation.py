@@ -46,6 +46,7 @@ APP_MAX_STEPS = 200
         "texture_subsample",
         "kernel_knobs",
         "multires",
+        "neural_dtype",
     ),
 )
 def render_frames_scan(
@@ -69,6 +70,8 @@ def render_frames_scan(
     texture_subsample=1,
     kernel_knobs=None,
     multires=0,
+    neural_params=None,
+    neural_dtype="float32",
 ):
     """Render frames at `times` (fp32[F]) in one fused lax.scan.
 
@@ -128,6 +131,8 @@ def render_frames_scan(
                 texture_filter=texture_filter,
                 texture_subsample=texture_subsample,
                 kernel_knobs=kernel_knobs,
+                neural_params=neural_params,
+                neural_dtype=neural_dtype,
             )
         return carry, frame
 
@@ -187,6 +192,8 @@ class PathAnimator:
             texture_subsample=getattr(r, "texture_subsample", 1),
             kernel_knobs=r.kernel_knobs,
             multires=getattr(r, "multires", 0),
+            neural_params=getattr(r, "neural_params", None),
+            neural_dtype=getattr(r, "neural_dtype", "float32"),
             **self._scan_kwargs(),
         )
 

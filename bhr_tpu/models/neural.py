@@ -1,0 +1,412 @@
+"""Neural geodesic surrogate — reference roadmap Phase 5.
+
+The reference plans (but never implements) an MLP that replaces geodesic
+integration with a single network evaluation per ray, citing GravLensX's
+15-26x speedups (reference: docs/ROADMAP.md:1217-1337 — a GeodesicMLP
+mapping initial conditions to the final direction, success criteria
+"inference < 1/10 integration time, visually indistinguishable,
+SSIM > 0.99"). This module is the TPU-native realization, and it is the
+one place in the framework where the MXU earns its keep: geodesic
+integration is pure VPU work (DESIGN.md section 1), while the surrogate
+renders a frame as a handful of large batched matmuls.
+
+Design — symmetry reduction instead of raw 5-D inputs. The roadmap's
+sketch feeds (r, theta, phi, p_r, p_theta). Schwarzschild geodesics are
+planar: the trajectory stays in the plane spanned by the radial direction
+u_hat = (origin - bh)/r0 and the in-plane tangent w_hat (the component of
+the ray direction orthogonal to u_hat). The whole problem therefore
+reduces to THREE scalars — (r0, rs, psi) with psi the angle between the
+ray direction and u_hat — and the network predicts a single in-plane
+deflection angle delta plus a capture logit:
+
+    d     = cos(psi) u_hat + sin(psi) w_hat          (by construction)
+    v_out = cos(psi + delta) u_hat + sin(psi + delta) w_hat
+
+Training targets come from the framework's own oracle (ops/trace.py, the
+line-faithful WGSL transcription) at the library-default workload
+(max_steps = 500, dt = 0.1), so the surrogate learns the *reference
+dynamics* — including its Euler truncation — not textbook GR. The
+delta parameterization makes the easy regime trivially exact (far rays:
+delta -> 0) and the periodic (cos, sin) loss absorbs winding near the
+photon sphere, where delta exceeds pi.
+
+Everything here is pure JAX (no flax dependency): params are a tuple of
+(W, b) pairs, trainable with optax and usable directly inside jit/scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FEATURE_VERSION = 1
+N_FEATURES = 6
+DEFAULT_HIDDEN = (96, 96, 96)
+# GR critical impact parameter b_c = (3*sqrt(3)/2) rs — only used to
+# normalize a feature (the net learns the true boundary of the Euler
+# dynamics itself, which sits near but not exactly at this value).
+_BC_FACTOR = 2.598076211
+
+
+# ---------------------------------------------------------------------------
+# parameters
+
+
+def init_params(key, hidden: tuple[int, ...] = DEFAULT_HIDDEN):
+    """He/Xavier-style init for an MLP [N_FEATURES, *hidden, 2]."""
+    sizes = (N_FEATURES, *hidden, 2)
+    params = []
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        key, sub = jax.random.split(key)
+        scale = jnp.sqrt(jnp.float32(1.0 / fan_in))
+        w = jax.random.normal(sub, (fan_in, fan_out), jnp.float32) * scale
+        b = jnp.zeros((fan_out,), jnp.float32)
+        params.append((w, b))
+    return tuple(params)
+
+
+def save_params(path: str, params, *, meta: dict | None = None) -> None:
+    """Persist params (+ metadata) as an npz the test host can reload."""
+    arrays = {}
+    for i, (w, b) in enumerate(params):
+        arrays[f"w{i}"] = np.asarray(w, np.float32)
+        arrays[f"b{i}"] = np.asarray(b, np.float32)
+    arrays["n_layers"] = np.int32(len(params))
+    arrays["feature_version"] = np.int32(FEATURE_VERSION)
+    for k, v in (meta or {}).items():
+        arrays[f"meta_{k}"] = np.asarray(v)
+    np.savez(path, **arrays)
+
+
+def load_params(path: str):
+    """Load params saved by save_params; returns (params, meta)."""
+    with np.load(path) as z:
+        if int(z["feature_version"]) != FEATURE_VERSION:
+            raise ValueError(
+                f"weights at {path} use feature_version "
+                f"{int(z['feature_version'])}, code expects {FEATURE_VERSION}"
+            )
+        n = int(z["n_layers"])
+        params = tuple(
+            (jnp.asarray(z[f"w{i}"]), jnp.asarray(z[f"b{i}"])) for i in range(n)
+        )
+        meta = {
+            k[len("meta_"):]: z[k] for k in z.files if k.startswith("meta_")
+        }
+    return params, meta
+
+
+# ---------------------------------------------------------------------------
+# features + forward pass
+
+
+def ray_features(r0, rs, cos_psi, sin_psi):
+    """(..., N_FEATURES) network inputs from the reduced ray coordinates.
+
+    All bounded O(1) over the supported domain (r0 in [1.3 rs, 100],
+    rs in [0.5, 4]) so a tanh MLP trains without input normalization.
+    """
+    r0 = jnp.asarray(r0, jnp.float32)
+    rs = jnp.broadcast_to(jnp.asarray(rs, jnp.float32), r0.shape)
+    mu = rs / r0
+    # inverse normalized impact parameter: ~1 at the GR critical impact
+    # parameter, -> 0 for far-miss rays, large (clipped) inside it
+    q = jnp.clip(_BC_FACTOR * rs / (r0 * sin_psi + 1e-6), 0.0, 4.0)
+    return jnp.stack(
+        [
+            mu,
+            jnp.asarray(cos_psi, jnp.float32),
+            jnp.asarray(sin_psi, jnp.float32),
+            q,
+            0.25 * rs,
+            0.25 * jnp.log(r0),
+        ],
+        axis=-1,
+    )
+
+
+def mlp_apply(params, feats, *, dtype=jnp.float32):
+    """Forward pass -> (..., 2): [delta, capture_logit].
+
+    `dtype` selects the matmul element type (fp32 default; bf16 halves MXU
+    time at reduced precision). Accumulation is always fp32 via
+    preferred_element_type; the nonlinearity runs in fp32.
+    """
+    x = feats.astype(dtype)
+    for i, (w, b) in enumerate(params):
+        x = (
+            jax.lax.dot_general(
+                x,
+                w.astype(dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b
+        )
+        if i < len(params) - 1:
+            x = jnp.tanh(x).astype(dtype)
+    return x.astype(jnp.float32)
+
+
+def predict_plane(params, r0, rs, cos_psi, sin_psi, *, dtype=jnp.float32):
+    """Reduced-coordinate prediction -> (delta, capture_prob)."""
+    out = mlp_apply(params, ray_features(r0, rs, cos_psi, sin_psi), dtype=dtype)
+    return out[..., 0], jax.nn.sigmoid(out[..., 1])
+
+
+def predict_directions(
+    params, origins, directions, bh_pos, rs, *, dtype=jnp.float32
+):
+    """Full 3-D prediction: (final_vel unit (...,3), captured bool (...,)).
+
+    Reconstructs the plane basis per ray, evaluates the network on the
+    reduced coordinates, and rotates the incoming direction by the
+    predicted deflection inside the plane.
+    """
+    d = jnp.asarray(directions, jnp.float32)
+    d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    rel = jnp.asarray(origins, jnp.float32) - jnp.asarray(bh_pos, jnp.float32)
+    r0 = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    u_hat = rel / r0[..., None]
+    c = jnp.sum(d * u_hat, axis=-1)
+    w_vec = d - c[..., None] * u_hat
+    s_raw = jnp.sqrt(jnp.sum(w_vec * w_vec, axis=-1))
+    # radial rays (s ~ 0) have an undefined plane; they also have zero
+    # deflection, so the guarded w_hat contribution is multiplied by ~sin(psi)
+    w_hat = w_vec / jnp.maximum(s_raw, 1e-12)[..., None]
+    s = jnp.clip(s_raw, 0.0, 1.0)
+    delta, p_cap = predict_plane(params, r0, rs, c, s, dtype=dtype)
+    phi = jnp.arctan2(s, c) + delta
+    v = jnp.cos(phi)[..., None] * u_hat + jnp.sin(phi)[..., None] * w_hat
+    v = v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v, p_cap > 0.5
+
+
+# ---------------------------------------------------------------------------
+# training data (targets from the oracle tracer)
+
+
+def sample_rays(
+    key,
+    n: int,
+    rs,
+    *,
+    r_range=(3.0, 60.0),
+    boundary_frac=0.5,
+):
+    """Sample reduced-coordinate training rays in the canonical plane.
+
+    `rs` is a given (n,) array (the caller structures it — the oracle
+    tracer wants scalar rs per trace call, so make_dataset groups rays by
+    rs and vmaps over groups). Returns (origins (n,3), dirs (n,3),
+    r0 (n,), psi (n,)) with u_hat = +x, w_hat = +y (fully general by
+    planar symmetry). Half the angles (boundary_frac) concentrate near
+    the capture-critical angle where the deflection function is steep;
+    the rest are uniform on [0, pi].
+    """
+    k_r, k_psi, k_mix, k_off = jax.random.split(key, 4)
+    rs = jnp.asarray(rs, jnp.float32)
+    lo = jnp.maximum(jnp.float32(r_range[0]), 1.3 * rs)
+    hi = jnp.float32(r_range[1])
+    r0 = jnp.exp(
+        jax.random.uniform(k_r, (n,), jnp.float32)
+        * (jnp.log(hi) - jnp.log(lo))
+        + jnp.log(lo)
+    )
+    psi_uniform = jax.random.uniform(k_psi, (n,), jnp.float32, 0.0, jnp.pi)
+    # critical angle of the GR impact parameter seen from r0 (the Euler
+    # dynamics' true boundary is nearby; a 0.25-rad spread covers it)
+    sin_crit = jnp.clip(_BC_FACTOR * rs / r0, 0.0, 1.0)
+    psi_crit = jnp.pi - jnp.arcsin(sin_crit)
+    psi_boundary = jnp.clip(
+        psi_crit
+        + jax.random.normal(k_off, (n,), jnp.float32) * 0.25,
+        0.0,
+        jnp.pi,
+    )
+    use_boundary = (
+        jax.random.uniform(k_mix, (n,), jnp.float32) < boundary_frac
+    )
+    psi = jnp.where(use_boundary, psi_boundary, psi_uniform)
+    origins = jnp.stack(
+        [r0, jnp.zeros_like(r0), jnp.zeros_like(r0)], axis=-1
+    )
+    dirs = jnp.stack(
+        [jnp.cos(psi), jnp.sin(psi), jnp.zeros_like(psi)], axis=-1
+    )
+    return origins, dirs, r0, psi
+
+
+def make_dataset(
+    key,
+    n: int,
+    *,
+    max_steps: int = 500,
+    dt: float = 0.1,
+    chunk: int = 262144,
+    r_range=(3.0, 60.0),
+    rs_range=(0.5, 4.0),
+):
+    """Trace n sampled rays with the oracle -> training arrays.
+
+    Returns dict of (n,) fp32 arrays: r0, rs, cos_psi, sin_psi, a, b,
+    captured — where (a, b) are the final-direction components in the
+    canonical plane basis.
+    """
+    from ..ops.trace import STATUS_CAPTURED, TraceConfig, trace_rays
+
+    cfg = TraceConfig(dt=dt)
+    outs = {k: [] for k in ("r0", "rs", "cos_psi", "sin_psi", "a", "b", "captured")}
+    # The oracle broadcasts rs as a scalar; rays are grouped by rs and the
+    # trace vmapped over the (scalar-rs) group axis.
+    groups = 64
+    chunk = (max(chunk // groups, 1)) * groups
+    traced = jax.jit(
+        jax.vmap(
+            lambda o, d, rs: trace_rays(
+                o, d, jnp.zeros(3, jnp.float32), rs, jnp.float32(0.0),
+                max_steps, cfg,
+            )
+        )
+    )
+    done = 0
+    while done < n:
+        m = min(chunk, n - done)
+        m = (max(m // groups, 1)) * groups
+        per = m // groups
+        key, k_rs, sub = jax.random.split(key, 3)
+        rs_g = jax.random.uniform(
+            k_rs, (groups,), jnp.float32, rs_range[0], rs_range[1]
+        )
+        rs = jnp.repeat(rs_g, per)
+        origins, dirs, r0, psi = sample_rays(sub, m, rs, r_range=r_range)
+        res = traced(
+            origins.reshape(groups, per, 3),
+            dirs.reshape(groups, per, 3),
+            rs_g,
+        )
+        fv = res.final_vel.reshape(m, 3)
+        outs["r0"].append(np.asarray(r0))
+        outs["rs"].append(np.asarray(rs))
+        outs["cos_psi"].append(np.asarray(jnp.cos(psi)))
+        outs["sin_psi"].append(np.asarray(jnp.sin(psi)))
+        outs["a"].append(np.asarray(fv[:, 0]))
+        outs["b"].append(np.asarray(fv[:, 1]))
+        outs["captured"].append(
+            np.asarray(res.status.reshape(m) == STATUS_CAPTURED, np.float32)
+        )
+        done += m
+    return {k: jnp.asarray(np.concatenate(v)) for k, v in outs.items()}
+
+
+# ---------------------------------------------------------------------------
+# training
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainResult:
+    params: tuple
+    loss_history: np.ndarray  # (epochs,) mean loss per logging window
+    final_loss: float
+
+
+def loss_fn(params, batch):
+    """Periodic direction loss (masked to non-captured rays) + capture BCE."""
+    feats = ray_features(
+        batch["r0"], batch["rs"], batch["cos_psi"], batch["sin_psi"]
+    )
+    out = mlp_apply(params, feats)
+    delta, logit = out[..., 0], out[..., 1]
+    phi = jnp.arctan2(batch["sin_psi"], batch["cos_psi"]) + delta
+    live = 1.0 - batch["captured"]
+    dir_err = (jnp.cos(phi) - batch["a"]) ** 2 + (jnp.sin(phi) - batch["b"]) ** 2
+    dir_loss = jnp.sum(dir_err * live) / jnp.maximum(jnp.sum(live), 1.0)
+    cap_loss = jnp.mean(
+        jnp.maximum(logit, 0.0)
+        - logit * batch["captured"]
+        + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+    )
+    return dir_loss + 0.1 * cap_loss
+
+
+def train(
+    key,
+    dataset,
+    *,
+    hidden: tuple[int, ...] = DEFAULT_HIDDEN,
+    steps: int = 20000,
+    batch_size: int = 16384,
+    lr: float = 3e-4,
+    log_every: int = 1000,
+) -> TrainResult:
+    """Adam training, fully fused on-device: the whole run is a lax.scan
+    (one dispatch per log window — essential through the tunneled TPU,
+    where per-dispatch latency is ~0.2-0.8 s)."""
+    import optax
+
+    k_init, k_data = jax.random.split(key)
+    params = init_params(k_init, hidden)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(1000, max(steps // 10, 1)), steps, end_value=lr * 0.01
+    )
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+    n = dataset["r0"].shape[0]
+
+    def step(carry, k):
+        params, opt_state = carry
+        idx = jax.random.randint(k, (batch_size,), 0, n)
+        batch = {key_: v[idx] for key_, v in dataset.items()}
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def run_window(params, opt_state, keys):
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), keys
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    history = []
+    done = 0
+    while done < steps:
+        m = min(log_every, steps - done)
+        k_data, sub = jax.random.split(k_data)
+        keys = jax.random.split(sub, m)
+        params, opt_state, mean_loss = run_window(params, opt_state, keys)
+        history.append(float(mean_loss))
+        done += m
+    return TrainResult(
+        params=params,
+        loss_history=np.asarray(history),
+        final_loss=history[-1],
+    )
+
+
+def evaluate(params, dataset):
+    """Held-out metrics: median/p99 angular error (deg, non-captured rays)
+    and capture-classification accuracy."""
+    feats = ray_features(
+        dataset["r0"], dataset["rs"], dataset["cos_psi"], dataset["sin_psi"]
+    )
+    out = mlp_apply(params, feats)
+    delta, logit = out[..., 0], out[..., 1]
+    phi = jnp.arctan2(dataset["sin_psi"], dataset["cos_psi"]) + delta
+    cosang = jnp.clip(
+        jnp.cos(phi) * dataset["a"] + jnp.sin(phi) * dataset["b"], -1.0, 1.0
+    )
+    ang = jnp.degrees(jnp.arccos(cosang))
+    live = dataset["captured"] < 0.5
+    ang_live = jnp.where(live, ang, jnp.nan)
+    cap_pred = logit > 0.0
+    acc = jnp.mean((cap_pred == (dataset["captured"] > 0.5)).astype(jnp.float32))
+    return {
+        "median_deg": float(jnp.nanmedian(ang_live)),
+        "p99_deg": float(jnp.nanpercentile(ang_live, 99.0)),
+        "capture_acc": float(acc),
+    }

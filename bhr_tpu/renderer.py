@@ -94,7 +94,10 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         model = "kerr_lt"
     if "flat" in low:
         model = "flat"
-    if "rk4" in low:
+    if "neural" in low or "mlp" in low:
+        # roadmap Phase 5 surrogate (models/neural.py) — Schwarzschild only
+        integrator = "neural"
+    elif "rk4" in low:
         integrator = "rk4"
     elif "leapfrog" in low or "verlet" in low:
         integrator = "leapfrog"
@@ -117,6 +120,7 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         "texture_filter",
         "texture_subsample",
         "kernel_knobs",
+        "neural_dtype",
     ),
 )
 def render_image(
@@ -137,6 +141,8 @@ def render_image(
     texture_filter: str = "bilinear",
     texture_subsample: int = 1,
     kernel_knobs: tuple = None,
+    neural_params=None,
+    neural_dtype: str = "float32",
 ):
     """Pure jittable frame pipeline.
 
@@ -154,6 +160,21 @@ def render_image(
     sampling.unpack_frame).
     """
     from .ops.pallas_trace import DEFAULT_EARLY_EXIT_EVERY
+
+    if config.integrator == "neural":
+        # roadmap Phase 5: the deflection field comes from the MLP
+        # surrogate (MXU matmuls) instead of geodesic integration
+        from .ops.neural_trace import neural_trace_image
+
+        result = neural_trace_image(
+            neural_params, camera, scene, dtype=jnp.dtype(neural_dtype)
+        )
+        return shade_image(
+            result, camera, scene, skybox, disk_params, lut,
+            tonemap=tonemap, seed=seed, packed=packed,
+            texture_filter=texture_filter,
+            texture_subsample=texture_subsample,
+        )
 
     knobs = tuple(kernel_knobs) if kernel_knobs else (DEFAULT_EARLY_EXIT_EVERY, 1, 1)
     eee, unroll, spc = knobs[:3]
@@ -325,6 +346,8 @@ class BlackHoleRenderer:
         kernel_knobs: tuple | None = None,
         multires: int = 0,
         cache_deflection: bool = False,
+        neural_params=None,
+        neural_dtype: str = "float32",
     ):
         self.context = context or TpuContext.new()
         self.width = int(width)
@@ -337,6 +360,50 @@ class BlackHoleRenderer:
             disk=disk,
             **({"dt": dt} if dt is not None else {}),
         )
+        # roadmap Phase 5 neural surrogate: Schwarzschild deflection only —
+        # no disk/adaptive/debug, and the model must be schwarzschild
+        self.neural_params = None
+        self.neural_dtype = str(neural_dtype)
+        if integ == "neural":
+            if (model or path_model) != "schwarzschild":
+                raise ValueError(
+                    "integrator='neural' supports model='schwarzschild' only "
+                    f"(got {model or path_model!r}); the surrogate is trained "
+                    "on Schwarzschild dynamics (models/neural.py)"
+                )
+            if adaptive or disk:
+                raise ValueError(
+                    "integrator='neural' does not support adaptive stepping "
+                    "or the accretion disk — it predicts only the final "
+                    "direction and capture status (docs/ROADMAP.md:1217-1337)"
+                )
+            if multires:
+                raise ValueError(
+                    "integrator='neural' has no multires mode (the surrogate "
+                    "already skips integration; there is no low-res geodesic "
+                    "pass to save)"
+                )
+            from .models.neural import load_params
+
+            if neural_params is None:
+                import pathlib
+
+                default = (
+                    pathlib.Path(__file__).parent
+                    / "assets"
+                    / "neural_schwarzschild.npz"
+                )
+                if not default.exists():
+                    raise FileNotFoundError(
+                        f"no trained surrogate weights at {default}; run "
+                        "scripts/train_neural.py (or pass neural_params=)"
+                    )
+                neural_params = str(default)
+            if isinstance(neural_params, (str, bytes)):
+                neural_params, _ = load_params(neural_params)
+            self.neural_params = jax.device_put(
+                neural_params, self.context.device
+            )
         if use_pallas is None:
             # Pallas is the perf path on TPU; the XLA oracle is the default
             # elsewhere (it vectorizes well on CPU and is the numerics oracle).
@@ -524,6 +591,8 @@ class BlackHoleRenderer:
             texture_filter=self._sample_filter,
             texture_subsample=self.texture_subsample,
             kernel_knobs=self.kernel_knobs,
+            neural_params=self.neural_params,
+            neural_dtype=self.neural_dtype,
         )
         if timestamp_query is not None:
             frame.block_until_ready()
@@ -553,7 +622,14 @@ class BlackHoleRenderer:
         every frame (renderer.shade_image)."""
         key = self._static_key(camera, scene)
         if key != self._deflection_key:
-            if self.use_pallas:
+            if self.config.integrator == "neural":
+                from .ops.neural_trace import neural_trace_image_jit
+
+                result = neural_trace_image_jit(
+                    self.neural_params, camera, scene,
+                    dtype=jnp.dtype(self.neural_dtype),
+                )
+            elif self.use_pallas:
                 knobs = self.kernel_knobs or (64, 1, 1)
                 result = pallas_trace_image(
                     camera, scene, self.config, tile=self.tile,
@@ -598,6 +674,8 @@ class BlackHoleRenderer:
         supported."""
         from .ops.multires import render_multires
 
+        if self.config.integrator == "neural":
+            raise ValueError("multires is not supported with integrator='neural'")
         camera = camera if camera is not None else self.camera
         scene = scene if scene is not None else self.scene
         if scene.screen_width != self.width or scene.screen_height != self.height:

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Phase-5 surrogate quality at full scale: neural vs integrated frames.
+
+Renders the headline scene (1080p x 500 steps by default) through the
+Pallas geodesic kernel and through the neural surrogate on the same
+device, then reports: SSIM (the roadmap's acceptance metric — target
+> 0.99, docs/ROADMAP.md:1320-1336), capture-mask IoU, median / p99
+angular deflection error over mutually-escaped pixels, and mean u8
+error. Run on the TPU; pass --texture to compare under the 4K texture
+skybox instead of the analytic star field, --dtype bfloat16 for the
+bf16 inference tier, --orbit N to aggregate over N orbit-camera frames.
+
+Usage: python scripts/neural_quality.py [--width W --height H --steps N]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from multires_diff import ssim  # noqa: E402  (same measurement everywhere)
+
+
+def luma(frame):
+    f = frame.astype(np.float32)
+    return 0.2126 * f[..., 0] + 0.7152 * f[..., 1] + 0.0722 * f[..., 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--texture", action="store_true")
+    ap.add_argument("--orbit", type=int, default=1,
+                    help="aggregate over N orbit-camera frames")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save", default="", help="npz dump of frames+fields for offline analysis")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+
+    from bhr_tpu import BlackHoleRenderer, SceneParams
+    from bhr_tpu.core.camera import orbit_camera
+    from bhr_tpu.models.neural import load_params
+    from bhr_tpu.ops.neural_trace import neural_trace_image_jit
+    from bhr_tpu.ops.pallas_trace import pallas_trace_image
+    from bhr_tpu.ops.trace import STATUS_CAPTURED, TraceConfig
+
+    w, h, steps = args.width, args.height, args.steps
+    scene = SceneParams(screen_width=w, screen_height=h, max_steps=steps)
+    skybox = None
+    if args.texture:
+        from bhr_tpu.io.skybox import procedural_starfield
+
+        skybox = procedural_starfield(2048, 4096, seed=2020)
+
+    kw = dict(skybox=skybox) if skybox is not None else {}
+    ref = BlackHoleRenderer(w, h, fast_math=True, **kw)
+    net = BlackHoleRenderer(
+        w, h, integrator="neural", neural_dtype=args.dtype, **kw
+    )
+    params, meta = load_params(
+        str(REPO / "bhr_tpu" / "assets" / "neural_schwarzschild.npz")
+    )
+
+    cfg = TraceConfig()
+    on_tpu = jax.default_backend() != "cpu"
+    ssims, ious, medians, p99s, mean_u8 = [], [], [], [], []
+    for k in range(args.orbit):
+        cam = (
+            orbit_camera(k / 3.0)
+            if args.orbit > 1
+            else __import__("bhr_tpu").Camera.default()
+        )
+        f_ref = np.asarray(ref.render_frame(cam, scene)).astype(np.int32)
+        f_net = np.asarray(net.render_frame(cam, scene)).astype(np.int32)
+        ssims.append(ssim(luma(f_ref), luma(f_net)))
+        mean_u8.append(float(np.abs(f_ref - f_net)[..., :3].mean()))
+
+        # deflection-field comparison (independent of shading)
+        if on_tpu:
+            res_ref = pallas_trace_image(
+                cam, scene, cfg, fast_math=True, interpret=False
+            )
+        else:
+            from bhr_tpu.core.camera import generate_rays
+            from bhr_tpu.ops.trace import trace_rays
+
+            o, d = generate_rays(cam, w, h, scene.fov)
+            res_ref = trace_rays(
+                o, d, scene.black_hole_position,
+                scene.schwarzschild_radius, scene.spin, steps, cfg,
+            )
+        res_net = neural_trace_image_jit(
+            net.neural_params, cam, scene, dtype=jnp.dtype(args.dtype)
+        )
+        cap_r = np.asarray(res_ref.status == STATUS_CAPTURED)
+        cap_n = np.asarray(res_net.status == STATUS_CAPTURED)
+        ious.append(
+            float(
+                np.logical_and(cap_r, cap_n).sum()
+                / max(np.logical_or(cap_r, cap_n).sum(), 1)
+            )
+        )
+        live = ~cap_r & ~cap_n
+        dot = np.clip(
+            np.asarray(
+                (res_ref.final_vel * res_net.final_vel).sum(-1)
+            )[live],
+            -1.0,
+            1.0,
+        )
+        err = np.degrees(np.arccos(dot))
+        medians.append(float(np.median(err)))
+        p99s.append(float(np.percentile(err, 99)))
+        if args.save and k == 0:
+            np.savez(
+                args.save,
+                f_ref=f_ref.astype(np.uint8),
+                f_net=f_net.astype(np.uint8),
+                cap_ref=cap_r,
+                cap_net=cap_n,
+                status_ref=np.asarray(res_ref.status),
+                vel_ref=np.asarray(res_ref.final_vel),
+                vel_net=np.asarray(res_net.final_vel),
+            )
+
+    print(
+        json.dumps(
+            {
+                "config": f"{w}x{h}x{steps}"
+                + ("_texture" if args.texture else "")
+                + (f"_{args.dtype}" if args.dtype != "float32" else ""),
+                "frames": args.orbit,
+                "ssim": round(float(np.mean(ssims)), 5),
+                "ssim_min": round(float(np.min(ssims)), 5),
+                "capture_iou": round(float(np.mean(ious)), 5),
+                "median_deg": round(float(np.mean(medians)), 4),
+                "p99_deg": round(float(np.mean(p99s)), 3),
+                "mean_u8_err": round(float(np.mean(mean_u8)), 3),
+                "weights_meta": {
+                    k: (v.tolist() if hasattr(v, "tolist") else v)
+                    for k, v in meta.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

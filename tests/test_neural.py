@@ -1,0 +1,183 @@
+"""Neural geodesic surrogate (reference roadmap Phase 5) tests.
+
+Covers: parameter persistence, the reduced-coordinate feature map, plane
+reconstruction, a tiny end-to-end training run (the surrogate must learn
+the oracle dynamics), renderer integration with the committed production
+weights, and the config validation surface.
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bhr_tpu.core.camera import Camera, generate_rays
+from bhr_tpu.core.scene import SceneParams
+from bhr_tpu.models import neural
+from bhr_tpu.ops.neural_trace import neural_trace_image
+from bhr_tpu.ops.trace import (
+    STATUS_CAPTURED,
+    TraceConfig,
+    trace_rays,
+)
+from bhr_tpu.renderer import BlackHoleRenderer
+
+WEIGHTS = (
+    pathlib.Path(__file__).resolve().parent.parent
+    / "bhr_tpu"
+    / "assets"
+    / "neural_schwarzschild.npz"
+)
+
+
+def test_features_shape_and_bounds():
+    key = jax.random.PRNGKey(0)
+    r0 = jax.random.uniform(key, (512,), jnp.float32, 3.0, 60.0)
+    rs = jnp.full((512,), 2.0, jnp.float32)
+    psi = jax.random.uniform(key, (512,), jnp.float32, 0.0, np.pi)
+    f = neural.ray_features(r0, rs, jnp.cos(psi), jnp.sin(psi))
+    assert f.shape == (512, neural.N_FEATURES)
+    assert bool(jnp.all(jnp.isfinite(f)))
+    assert float(jnp.max(jnp.abs(f))) < 8.0
+
+
+def test_predict_directions_unit_and_radial_guard():
+    params = neural.init_params(jax.random.PRNGKey(1), (16, 16))
+    # include an exactly-radial ray (undefined plane) — must not NaN
+    origins = jnp.array([[15.0, 0.0, 0.0], [10.0, 4.0, 2.0]], jnp.float32)
+    dirs = jnp.array([[1.0, 0.0, 0.0], [-0.8, 0.1, 0.3]], jnp.float32)
+    v, cap = neural.predict_directions(
+        params, origins, dirs, jnp.zeros(3), jnp.float32(2.0)
+    )
+    assert bool(jnp.all(jnp.isfinite(v)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(v * v, axis=-1)), 1.0, atol=1e-5
+    )
+    assert cap.shape == (2,)
+
+
+def test_params_roundtrip(tmp_path):
+    params = neural.init_params(jax.random.PRNGKey(2), (8, 8))
+    path = tmp_path / "w.npz"
+    neural.save_params(str(path), params, meta=dict(max_steps=123))
+    loaded, meta = neural.load_params(str(path))
+    assert len(loaded) == len(params)
+    for (w0, b0), (w1, b1) in zip(params, loaded):
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    assert int(meta["max_steps"]) == 123
+
+
+def test_tiny_training_learns_oracle():
+    """A small net on a small dataset must learn the (truncated) dynamics:
+    loss drops, capture classification works, easy-regime deflections are
+    accurate to a degree."""
+    key = jax.random.PRNGKey(3)
+    k_data, k_eval, k_fit = jax.random.split(key, 3)
+    dataset = neural.make_dataset(k_data, 40_000, max_steps=100, chunk=40_000)
+    eval_set = neural.make_dataset(k_eval, 8_192, max_steps=100, chunk=8_192)
+    result = neural.train(
+        k_fit,
+        dataset,
+        hidden=(48, 48),
+        steps=600,
+        batch_size=4096,
+        lr=2e-3,
+        log_every=200,
+    )
+    assert result.final_loss < result.loss_history[0] * 0.5
+    metrics = neural.evaluate(result.params, eval_set)
+    assert metrics["capture_acc"] > 0.93
+    assert metrics["median_deg"] < 2.0
+
+
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="production weights not trained yet")
+class TestProductionWeights:
+    """The committed production surrogate vs the oracle at the library
+    default workload (max_steps=500, rs=2, camera r0 ~ 15.8)."""
+
+    @classmethod
+    def setup_class(cls):
+        cls.params, cls.meta = neural.load_params(str(WEIGHTS))
+        cls.scene = SceneParams(
+            screen_width=96, screen_height=64, max_steps=500
+        )
+        cls.camera = Camera.default()
+        origins, dirs = generate_rays(cls.camera, 96, 64, cls.scene.fov)
+        cls.oracle = trace_rays(
+            origins,
+            dirs,
+            cls.scene.black_hole_position,
+            cls.scene.schwarzschild_radius,
+            cls.scene.spin,
+            500,
+            TraceConfig(),
+        )
+        cls.pred = neural_trace_image(cls.params, cls.camera, cls.scene)
+
+    def test_capture_mask_matches(self):
+        got = np.asarray(self.pred.status == STATUS_CAPTURED)
+        want = np.asarray(self.oracle.status == STATUS_CAPTURED)
+        inter = np.logical_and(got, want).sum()
+        union = np.logical_or(got, want).sum()
+        assert union > 0  # the default scene does contain a shadow
+        assert inter / union > 0.95
+
+    def test_deflection_angular_error(self):
+        both_live = np.asarray(
+            (self.pred.status != STATUS_CAPTURED)
+            & (self.oracle.status != STATUS_CAPTURED)
+        )
+        dot = np.clip(
+            np.asarray(
+                jnp.sum(self.pred.final_vel * self.oracle.final_vel, axis=-1)
+            ),
+            -1.0,
+            1.0,
+        )
+        err = np.degrees(np.arccos(dot))[both_live]
+        assert np.median(err) < 0.25
+        assert np.percentile(err, 90) < 2.0
+
+    def test_renderer_end_to_end(self):
+        r = BlackHoleRenderer(96, 64, integrator="neural")
+        frame = np.asarray(r.render_frame())
+        assert frame.shape == (64, 96, 4)
+        assert frame.dtype == np.uint8
+        # shadow pixels are black, alpha everywhere 255
+        assert (frame[..., 3] == 255).all()
+        cap = np.asarray(self.pred.status == STATUS_CAPTURED)
+        assert (frame[..., :3][cap] == 0).all()
+
+    def test_scan_animation_path(self):
+        from bhr_tpu.animation import OrbitAnimator
+
+        r = BlackHoleRenderer(64, 48, integrator="neural")
+        frames = np.asarray(OrbitAnimator(r).render_frames(2, fps=30.0))
+        assert frames.shape == (2, 48, 64, 4)
+
+    def test_deflection_cache_path(self):
+        r = BlackHoleRenderer(64, 48, integrator="neural", cache_deflection=True)
+        f1 = np.asarray(r.render_frame())
+        f2 = np.asarray(r.render_frame())
+        np.testing.assert_array_equal(f1, f2)
+
+
+def test_neural_config_validation():
+    with pytest.raises(ValueError, match="schwarzschild"):
+        BlackHoleRenderer(32, 32, integrator="neural", model="kerr")
+    with pytest.raises(ValueError, match="disk"):
+        BlackHoleRenderer(32, 32, integrator="neural", disk=True)
+    with pytest.raises(ValueError, match="multires"):
+        BlackHoleRenderer(32, 32, integrator="neural", multires=2)
+
+
+def test_neural_missing_weights_message(tmp_path, monkeypatch):
+    import bhr_tpu.renderer as renderer_mod
+
+    if WEIGHTS.exists():
+        pytest.skip("weights present; default path resolves")
+    with pytest.raises(FileNotFoundError, match="train_neural"):
+        BlackHoleRenderer(32, 32, integrator="neural")
