@@ -114,11 +114,23 @@ def main():
 
     texsub = os.environ.get("BHR_BENCH_TEXSUB", "1")
     texsub = texsub if texsub == "checker" else int(texsub)
+    extra = {}
+    if integrator == "neural":
+        # Phase 5 surrogate: BHR_BENCH_NEURAL_WEIGHTS selects the asset
+        # (default = the general net; the orbit-distilled *_orbit.npz is
+        # the right one for this benchmark's camera path) and
+        # BHR_BENCH_NEURAL_DTYPE=bfloat16 the reduced-precision MXU tier.
+        w_env = os.environ.get("BHR_BENCH_NEURAL_WEIGHTS")
+        if w_env:
+            extra["neural_params"] = w_env
+        extra["neural_dtype"] = os.environ.get(
+            "BHR_BENCH_NEURAL_DTYPE", "float32"
+        )
     renderer = BlackHoleRenderer(
         width, height, integrator, use_pallas=use_pallas, tile=tile,
         fast_math=fast_math, kernel_knobs=knobs, skybox=skybox,
         texture_filter=texture_filter, texture_subsample=texsub, model=model,
-        disk=disk, adaptive=adaptive,
+        disk=disk, adaptive=adaptive, **extra,
     )
     import jax.numpy as jnp
 
@@ -232,6 +244,8 @@ def main():
         suffix += "_disk"
     if integrator != "euler":
         suffix += f"_{integrator}"
+    if integrator == "neural" and extra.get("neural_dtype", "float32") != "float32":
+        suffix += f"_{extra['neural_dtype']}"
     if adaptive:
         suffix += "_adaptive"
     print(

@@ -197,6 +197,44 @@ class PathAnimator:
             **self._scan_kwargs(),
         )
 
+    def _manifest(self, n_frames, fps, start_frame, scene):
+        """Render-run fingerprint for the manifest sidecar: everything that
+        changes frame content (resuming under a different configuration
+        would silently mix incompatible frames)."""
+        import numpy as np  # noqa: F811 (module-level too; explicit here)
+
+        r = self.renderer
+        scene = scene if scene is not None else r.scene
+        def f(x):
+            return np.asarray(x, np.float32).tolist()
+        return {
+            "width": r.width,
+            "height": r.height,
+            "fps": fps,
+            "max_steps": int(scene.max_steps),
+            "integrator": r.config.integrator,
+            "model": r.config.model,
+            "adaptive": r.config.adaptive,
+            "disk": r.config.disk,
+            "fast_math": r.fast_math,
+            "tonemap": r.tonemap,
+            "texture_filter": r._sample_filter,
+            "texture_subsample": str(r.texture_subsample),
+            "skybox": "texture" if r.skybox is not None else f"procedural:{r.skybox_seed}",
+            "multires": getattr(r, "multires", 0),
+            "scene": {
+                "black_hole_position": f(scene.black_hole_position),
+                "schwarzschild_radius": f(scene.schwarzschild_radius),
+                "fov": f(scene.fov),
+                "spin": f(scene.spin),
+            },
+            "camera_path": self._path_fingerprint(),
+        }
+
+    def _path_fingerprint(self):
+        fn = self.camera_fn
+        return f"custom:{getattr(fn, '__qualname__', repr(fn))}"
+
     def render_to_dir(
         self,
         out_dir: str,
@@ -214,10 +252,35 @@ class PathAnimator:
         missing index — bit-exact, because the animation is a pure function
         of frame index (the checkpoint/resume story of SURVEY.md §5: the
         rendered frames ARE the checkpoints).
+
+        A `manifest.json` sidecar records the full render configuration;
+        resuming into a directory whose manifest disagrees raises instead
+        of silently mixing frames from incompatible configurations.
         """
+        import json
+
         from .io import native
 
         os.makedirs(out_dir, exist_ok=True)
+        manifest = self._manifest(n_frames, fps, start_frame, scene)
+        mpath = os.path.join(out_dir, "manifest.json")
+        if os.path.exists(mpath):
+            try:
+                existing = json.load(open(mpath))
+            except (OSError, json.JSONDecodeError):
+                existing = None
+            if resume and existing is not None and existing != manifest:
+                diff = {
+                    k for k in set(existing) | set(manifest)
+                    if existing.get(k) != manifest.get(k)
+                }
+                raise ValueError(
+                    f"resume=True but {mpath} was written by a different "
+                    f"render configuration (differs in: {sorted(diff)}); "
+                    "use a fresh directory or matching settings"
+                )
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh, indent=1)
         paths = []
         done = 0
         if resume:
@@ -292,4 +355,10 @@ class OrbitAnimator(PathAnimator):
             jnp.float32(self.height),
         )
         return dict(orbit=orbit)
+
+    def _path_fingerprint(self):
+        return (
+            f"orbit:speed={float(self.rotation_speed)}"
+            f",radius={float(self.radius)},height={float(self.height)}"
+        )
 

@@ -42,8 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FEATURE_VERSION = 1
-N_FEATURES = 6
+FEATURE_VERSION = 2
+N_FEATURES = 16
 DEFAULT_HIDDEN = (96, 96, 96)
 # GR critical impact parameter b_c = (3*sqrt(3)/2) rs — only used to
 # normalize a feature (the net learns the true boundary of the Euler
@@ -108,21 +108,45 @@ def ray_features(r0, rs, cos_psi, sin_psi):
 
     All bounded O(1) over the supported domain (r0 in [1.3 rs, 100],
     rs in [0.5, 4]) so a tanh MLP trains without input normalization.
+
+    v2 additions (the v1 6-feature map plateaued at ~0.02 deg median):
+    the deflection diverges logarithmically as the impact parameter b
+    approaches the critical b_c, so the net gets the singular coordinate
+    directly — log|b/b_c - 1| plus its (soft) sign — and four Fourier
+    octaves of psi for the remaining high-frequency structure (the NeRF
+    positional-encoding fix for spectral bias).
     """
     r0 = jnp.asarray(r0, jnp.float32)
     rs = jnp.broadcast_to(jnp.asarray(rs, jnp.float32), r0.shape)
+    cos_psi = jnp.asarray(cos_psi, jnp.float32)
+    sin_psi = jnp.asarray(sin_psi, jnp.float32)
     mu = rs / r0
     # inverse normalized impact parameter: ~1 at the GR critical impact
     # parameter, -> 0 for far-miss rays, large (clipped) inside it
     q = jnp.clip(_BC_FACTOR * rs / (r0 * sin_psi + 1e-6), 0.0, 4.0)
+    # signed log-distance from the critical impact parameter
+    t = r0 * sin_psi / (_BC_FACTOR * rs) - 1.0
+    f_log = 0.2 * jnp.log(jnp.abs(t) + 1e-3)
+    f_sign = jnp.tanh(8.0 * t)
+    psi = jnp.arctan2(sin_psi, cos_psi)
     return jnp.stack(
         [
             mu,
-            jnp.asarray(cos_psi, jnp.float32),
-            jnp.asarray(sin_psi, jnp.float32),
+            cos_psi,
+            sin_psi,
             q,
             0.25 * rs,
             0.25 * jnp.log(r0),
+            f_log,
+            f_sign,
+            jnp.sin(2.0 * psi),
+            jnp.cos(2.0 * psi),
+            jnp.sin(4.0 * psi),
+            jnp.cos(4.0 * psi),
+            jnp.sin(8.0 * psi),
+            jnp.cos(8.0 * psi),
+            jnp.sin(16.0 * psi),
+            jnp.cos(16.0 * psi),
         ],
         axis=-1,
     )
@@ -131,9 +155,18 @@ def ray_features(r0, rs, cos_psi, sin_psi):
 def mlp_apply(params, feats, *, dtype=jnp.float32):
     """Forward pass -> (..., 2): [delta, capture_logit].
 
-    `dtype` selects the matmul element type (fp32 default; bf16 halves MXU
-    time at reduced precision). Accumulation is always fp32 via
-    preferred_element_type; the nonlinearity runs in fp32.
+    `dtype` selects the matmul element type; accumulation is always fp32
+    via preferred_element_type and the nonlinearity runs in fp32.
+
+    Precision note (measured on v5e): matmuls run at XLA's DEFAULT
+    precision, which on TPU feeds the MXU single-pass bf16 inputs even
+    for fp32 arrays — so fp32 and bf16 dtypes produce bit-identical
+    TPU results, and bf16 is simply the faster layout (0.96 vs 1.41
+    ms/frame at 1080p; it halves the cast/VMEM traffic). Training runs
+    at the same precision, so the weights are NATIVE to bf16 matmul
+    rounding: forcing Precision.HIGHEST (true multi-pass fp32) was
+    measured strictly worse — 6.4x slower AND off the trained operating
+    point (1080p SSIM 0.934 vs 0.990) — and is deliberately not exposed.
     """
     x = feats.astype(dtype)
     for i, (w, b) in enumerate(params):
@@ -341,14 +374,21 @@ def train(
     batch_size: int = 16384,
     lr: float = 3e-4,
     log_every: int = 1000,
+    warm_start=None,
 ) -> TrainResult:
     """Adam training, fully fused on-device: the whole run is a lax.scan
     (one dispatch per log window — essential through the tunneled TPU,
-    where per-dispatch latency is ~0.2-0.8 s)."""
+    where per-dispatch latency is ~0.2-0.8 s).
+
+    `warm_start`: existing params to fine-tune (workload distillation —
+    the GravLensX recipe the roadmap cites trains per-scene networks;
+    narrowing the (r0, rs) domain to a scene's manifold buys several-x
+    accuracy at identical inference cost). `hidden` is ignored then.
+    """
     import optax
 
     k_init, k_data = jax.random.split(key)
-    params = init_params(k_init, hidden)
+    params = warm_start if warm_start is not None else init_params(k_init, hidden)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, min(1000, max(steps // 10, 1)), steps, end_value=lr * 0.01
     )

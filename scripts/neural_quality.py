@@ -43,6 +43,11 @@ def main():
                     help="aggregate over N orbit-camera frames")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save", default="", help="npz dump of frames+fields for offline analysis")
+    ap.add_argument(
+        "--weights",
+        default=str(REPO / "bhr_tpu" / "assets" / "neural_schwarzschild.npz"),
+        help="surrogate weights to gauge (e.g. the _orbit.npz distilled net)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -69,11 +74,10 @@ def main():
     kw = dict(skybox=skybox) if skybox is not None else {}
     ref = BlackHoleRenderer(w, h, fast_math=True, **kw)
     net = BlackHoleRenderer(
-        w, h, integrator="neural", neural_dtype=args.dtype, **kw
+        w, h, integrator="neural", neural_dtype=args.dtype,
+        neural_params=args.weights, **kw
     )
-    params, meta = load_params(
-        str(REPO / "bhr_tpu" / "assets" / "neural_schwarzschild.npz")
-    )
+    params, meta = load_params(args.weights)
 
     cfg = TraceConfig()
     on_tpu = jax.default_backend() != "cpu"

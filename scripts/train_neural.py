@@ -45,7 +45,31 @@ def main():
     ap.add_argument(
         "--quick", action="store_true", help="tiny smoke run (CI-sized)"
     )
+    ap.add_argument("--r-range", type=str, default="3,60",
+                    help="camera-radius sampling range lo,hi")
+    ap.add_argument("--rs-range", type=str, default="0.5,4.0",
+                    help="Schwarzschild-radius sampling range lo,hi")
+    ap.add_argument("--init", type=str, default="",
+                    help="warm-start weights to fine-tune (distillation)")
+    ap.add_argument(
+        "--focus", action="store_true",
+        help="distill for the default orbit workload: narrows (r0, rs) to "
+             "the benchmark manifold (r0 in [13,19], rs in [1.5,2.5]), "
+             "warm-starts from the general weights, writes *_orbit.npz",
+    )
     args = ap.parse_args()
+    if args.focus:
+        args.r_range = "13,19"
+        args.rs_range = "1.5,2.5"
+        default_general = str(
+            REPO / "bhr_tpu" / "assets" / "neural_schwarzschild.npz"
+        )
+        if not args.init and pathlib.Path(default_general).exists():
+            args.init = default_general
+        if args.out == default_general:
+            args.out = str(
+                REPO / "bhr_tpu" / "assets" / "neural_schwarzschild_orbit.npz"
+            )
 
     import jax
 
@@ -61,20 +85,29 @@ def main():
         args.max_steps = min(args.max_steps, 200)
 
     hidden = tuple(int(x) for x in args.hidden.split(","))
+    r_range = tuple(float(x) for x in args.r_range.split(","))
+    rs_range = tuple(float(x) for x in args.rs_range.split(","))
+    warm = None
+    if args.init:
+        warm, init_meta = neural.load_params(args.init)
+        hidden = tuple(w.shape[1] for w, _ in warm[:-1])
     key = jax.random.PRNGKey(args.seed)
     k_train, k_eval, k_fit = jax.random.split(key, 3)
 
     print(
         f"device={jax.devices()[0]} rays={args.rays} steps={args.steps} "
-        f"hidden={hidden} max_steps={args.max_steps}",
+        f"hidden={hidden} max_steps={args.max_steps} r={r_range} rs={rs_range}"
+        + (f" warm_start={args.init}" if args.init else ""),
         flush=True,
     )
     t0 = time.time()
     dataset = neural.make_dataset(
-        k_train, args.rays, max_steps=args.max_steps, dt=args.dt
+        k_train, args.rays, max_steps=args.max_steps, dt=args.dt,
+        r_range=r_range, rs_range=rs_range,
     )
     eval_set = neural.make_dataset(
-        k_eval, args.eval_rays, max_steps=args.max_steps, dt=args.dt
+        k_eval, args.eval_rays, max_steps=args.max_steps, dt=args.dt,
+        r_range=r_range, rs_range=rs_range,
     )
     cap_frac = float(dataset["captured"].mean())
     print(
@@ -90,6 +123,7 @@ def main():
         steps=args.steps,
         batch_size=args.batch,
         lr=args.lr,
+        warm_start=warm,
     )
     print(
         f"train: {time.time() - t1:.1f}s, loss "
@@ -109,6 +143,8 @@ def main():
             dt=args.dt,
             train_rays=args.rays,
             train_steps=args.steps,
+            r_range=r_range,
+            rs_range=rs_range,
             final_loss=result.final_loss,
             **{k: v for k, v in metrics.items()},
         ),

@@ -49,7 +49,9 @@ def test_render_to_dir_writes_sequence(tmp_path):
     _, anim, scene = _make()
     paths = anim.render_to_dir(str(tmp_path), 5, fps=60.0, chunk_size=2, scene=scene)
     assert len(paths) == 5
-    assert sorted(os.listdir(tmp_path)) == [f"frame_{i:05d}.png" for i in range(5)]
+    assert sorted(os.listdir(tmp_path)) == [
+        f"frame_{i:05d}.png" for i in range(5)
+    ] + ["manifest.json"]
     from PIL import Image
 
     img = np.asarray(Image.open(paths[0]).convert("RGBA"))
@@ -66,8 +68,10 @@ def test_render_to_dir_resume_skips_existing(tmp_path):
         str(tmp_path), 6, fps=60.0, chunk_size=2, scene=scene, resume=True
     )
     assert len(paths) == 6
-    assert len(os.listdir(tmp_path)) == 6
+    assert len(os.listdir(tmp_path)) == 7  # 6 frames + manifest.json
     for name, mtime in first.items():
+        if name == "manifest.json":
+            continue  # rewritten (same content) on every run
         assert os.path.getmtime(os.path.join(tmp_path, name)) == mtime
     # resumed tail matches a fresh full render bit-exactly
     import numpy as np
@@ -76,6 +80,28 @@ def test_render_to_dir_resume_skips_existing(tmp_path):
     fresh = np.asarray(anim.render_frames(6, fps=60.0, scene=scene))
     got = np.asarray(Image.open(os.path.join(tmp_path, "frame_00005.png")).convert("RGBA"))
     np.testing.assert_array_equal(got, fresh[5])
+
+
+def test_render_to_dir_manifest_guards_resume(tmp_path):
+    """Resuming under a different render configuration must raise, not
+    silently mix frames (manifest.json sidecar)."""
+    import json
+
+    import pytest
+
+    _, anim, scene = _make()
+    anim.render_to_dir(str(tmp_path), 2, fps=60.0, chunk_size=2, scene=scene)
+    manifest = json.load(open(tmp_path / "manifest.json"))
+    assert manifest["max_steps"] == SCENE["max_steps"]
+    assert manifest["camera_path"].startswith("orbit:")
+    other = SceneParams(**{**SCENE, "max_steps": 80})
+    with pytest.raises(ValueError, match="max_steps"):
+        anim.render_to_dir(
+            str(tmp_path), 4, fps=60.0, chunk_size=2, scene=other, resume=True
+        )
+    # a fresh (non-resume) run may overwrite freely
+    anim.render_to_dir(str(tmp_path), 2, fps=60.0, chunk_size=2, scene=other)
+    assert json.load(open(tmp_path / "manifest.json"))["max_steps"] == 80
 
 
 def test_save_gif(tmp_path):
