@@ -31,14 +31,21 @@ def neural_trace_image(
     scene,
     *,
     dtype=jnp.float32,
+    row0=0,
+    local_shape=None,
 ) -> TraceResult:
     """Predict the (H, W) deflection field for one frame.
 
     `params`: MLP weights (models/neural.py). `dtype` selects the matmul
-    element type (fp32 default; bf16 for maximum MXU rate).
+    element type (fp32 default; bf16 for maximum MXU rate). `row0` /
+    `local_shape` render a row band of the full image (mesh-sharded
+    rendering, parallel/mesh.py) — UVs always reference the full frame.
     """
-    h, w = scene.screen_height, scene.screen_width
-    origins, dirs = generate_rays(camera, w, h, scene.fov)
+    h, w = local_shape or (scene.screen_height, scene.screen_width)
+    origins, dirs = generate_rays(
+        camera, scene.screen_width, scene.screen_height, scene.fov,
+        row_offset=row0, local_shape=(h, w),
+    )
     # flatten to a (N, 3) batch: one big MXU-friendly matmul per layer
     flat_o = origins.reshape(-1, 3)
     flat_d = dirs.reshape(-1, 3)
@@ -66,5 +73,5 @@ def neural_trace_image(
 # standalone-jit flavor for callers outside a jit scope (e.g. the
 # Phase 4-4 deflection cache, which reshades a stored TraceResult)
 neural_trace_image_jit = jax.jit(
-    neural_trace_image, static_argnames=("dtype",)
+    neural_trace_image, static_argnames=("dtype", "row0", "local_shape")
 )

@@ -73,6 +73,7 @@ def _render_band(
     interpret,
     seed=2020,
     texture_filter="bilinear",
+    neural_params=None,
 ):
     """Render rows [row0, row0+band_h) of the full image -> packed u32 band.
 
@@ -80,7 +81,16 @@ def _render_band(
     """
     from ..ops.display import TONEMAPS
 
-    if monolithic_eligible(
+    if config.integrator == "neural":
+        # Phase-5 surrogate band: the MLP deflection field is trivially
+        # row-shardable (pure per-pixel matmul batch)
+        from ..ops.neural_trace import neural_trace_image
+
+        result = neural_trace_image(
+            neural_params, camera, scene,
+            row0=row0, local_shape=(band_h, scene.screen_width),
+        )
+    elif monolithic_eligible(
         config, scene, use_pallas=use_pallas, fast_math=fast_math,
         skybox=skybox, disk_params=disk_params, tonemap=tonemap,
     ):
@@ -89,7 +99,7 @@ def _render_band(
             row0=row0, local_shape=(band_h, scene.screen_width),
             fast_math=fast_math,
         )
-    if use_pallas:
+    elif use_pallas:
         result = pallas_trace_image(
             camera,
             scene,
@@ -164,19 +174,20 @@ def _frame_program(
     and config does zero retracing (jax.jit caches per argument shape on
     the returned program object)."""
 
-    def shard_fn(camera, scene, skybox, disk_params, lut):
+    def shard_fn(camera, scene, skybox, disk_params, lut, neural_params):
         row0 = jax.lax.axis_index("sp") * band_h
         return _render_band(
             camera, scene, skybox, disk_params, lut, row0, band_h,
             config=config, use_pallas=use_pallas, tile=tile,
             fast_math=fast_math, tonemap=tonemap, interpret=interpret,
             seed=seed, texture_filter=texture_filter,
+            neural_params=neural_params,
         )
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=P("sp"),
         check_vma=False,
     )
@@ -199,6 +210,7 @@ def render_frame_sharded(
     interpret: bool | None = None,
     seed: int = 2020,
     texture_filter: str = "bilinear",
+    neural_params=None,
 ):
     """One frame with pixel rows sharded over the mesh's 'sp' axis.
 
@@ -219,7 +231,7 @@ def render_frame_sharded(
         tuple(tile) if tile is not None else None,
         fast_math, tonemap, interpret, seed, texture_filter,
     )
-    packed = program(camera, scene, skybox, disk_params, lut)
+    packed = program(camera, scene, skybox, disk_params, lut, neural_params)
     return unpack_frame(packed[:height])
 
 
@@ -241,6 +253,7 @@ def render_animation_sharded(
     with_stats: bool = True,
     seed: int = 2020,
     texture_filter: str = "bilinear",
+    neural_params=None,
 ):
     """Animation with frames sharded over 'dp' and rows over 'sp'.
 
@@ -269,7 +282,7 @@ def render_animation_sharded(
         tuple(tile) if tile is not None else None,
         fast_math, tonemap, interpret, with_stats, seed, texture_filter,
     )
-    frames, lums = program(times, scene, skybox, disk_params, lut)
+    frames, lums = program(times, scene, skybox, disk_params, lut, neural_params)
     frames = unpack_frame(frames[:, :height])
     if with_stats:
         return frames, lums
@@ -286,7 +299,7 @@ def _animation_program(
     n_sp = mesh.shape["sp"]
     speed, radius, cam_h = [jnp.float32(x) for x in orbit]
 
-    def shard_fn(times, scene, skybox, disk_params, lut):
+    def shard_fn(times, scene, skybox, disk_params, lut, neural_params):
         row0 = jax.lax.axis_index("sp") * band_h
 
         def step(carry, t):
@@ -296,6 +309,7 @@ def _animation_program(
                 config=config, use_pallas=use_pallas, tile=tile,
                 fast_math=fast_math, tonemap=tonemap, interpret=interpret,
                 seed=seed, texture_filter=texture_filter,
+                neural_params=neural_params,
             )
             if with_stats:
                 g_chan = ((band >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
@@ -315,7 +329,7 @@ def _animation_program(
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("dp"), P(), P(), P(), P()),
+        in_specs=(P("dp"), P(), P(), P(), P(), P()),
         out_specs=(P("dp", "sp"), P("dp")),
         check_vma=False,
     )

@@ -171,3 +171,43 @@ def test_sharded_luma_tier_close_to_single(small_skybox):
     d = np.abs(sharded - single)[..., :3]
     assert d.max() <= 12, d.max()  # chroma-phase only
     assert (d > 0).mean() < 0.35
+
+
+def test_sharded_neural_equals_single_device():
+    """Phase-5 surrogate over the mesh: band-sharded MLP deflection +
+    shading must match the single-device neural render bit-exactly (the
+    matmul batch is identical per row; only the batch slicing differs)."""
+    import pathlib
+
+    weights = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bhr_tpu" / "assets" / "neural_schwarzschild.npz"
+    )
+    if not weights.exists():
+        pytest.skip("production weights not trained yet")
+    from bhr_tpu.models.neural import load_params
+
+    # uncommitted weights: the renderer device_puts its copy to device 0,
+    # which an 8-device shard_map would reject as an incompatible commit
+    params, _ = load_params(str(weights))
+    scene = SceneParams(screen_width=64, screen_height=48, max_steps=500)
+    cam = Camera.default()
+    r = BlackHoleRenderer(64, 48, integrator="neural", neural_params=params)
+    single = np.asarray(r.render_frame(cam, scene))
+    mesh = make_mesh(8, shape=(1, 8))
+    sharded = np.asarray(
+        render_frame_sharded(
+            cam, scene, None, mesh,
+            config=r.config, neural_params=params,
+        )
+    )
+    np.testing.assert_array_equal(sharded, single)
+    # animation path (dp x sp) with luminance telemetry
+    mesh2 = make_mesh(8)  # (2, 4)
+    times = jnp.arange(2, dtype=jnp.float32) / 30.0
+    frames, lums = render_animation_sharded(
+        times, scene, None, mesh2,
+        config=r.config, neural_params=params,
+    )
+    assert np.asarray(frames).shape == (2, 48, 64, 4)
+    assert np.all(np.isfinite(np.asarray(lums)))
