@@ -51,6 +51,10 @@ def main():
                     help="Schwarzschild-radius sampling range lo,hi")
     ap.add_argument("--init", type=str, default="",
                     help="warm-start weights to fine-tune (distillation)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="train from scratch even with --focus (use with a "
+                         "custom --hidden; warm-starting would override the "
+                         "width with the init net's)")
     ap.add_argument(
         "--focus", action="store_true",
         help="distill for the default orbit workload: narrows (r0, rs) to "
@@ -64,7 +68,11 @@ def main():
         default_general = str(
             REPO / "bhr_tpu" / "assets" / "neural_schwarzschild.npz"
         )
-        if not args.init and pathlib.Path(default_general).exists():
+        if (
+            not args.init
+            and not args.fresh
+            and pathlib.Path(default_general).exists()
+        ):
             args.init = default_general
         if args.out == default_general:
             args.out = str(

@@ -174,10 +174,28 @@ def test_neural_config_validation():
         BlackHoleRenderer(32, 32, integrator="neural", multires=2)
 
 
-def test_neural_missing_weights_message(tmp_path, monkeypatch):
-    import bhr_tpu.renderer as renderer_mod
-
+def test_neural_missing_weights_message():
     if WEIGHTS.exists():
         pytest.skip("weights present; default path resolves")
     with pytest.raises(FileNotFoundError, match="train_neural"):
         BlackHoleRenderer(32, 32, integrator="neural")
+
+
+def test_all_committed_assets_load_and_predict():
+    """Every shipped .npz asset must load under the current FEATURE_VERSION
+    and produce finite unit directions."""
+    assets = sorted(WEIGHTS.parent.glob("*.npz"))
+    if not assets:
+        pytest.skip("no committed weights")
+    origins = jnp.array([[15.0, 5.0, 0.0]], jnp.float32)
+    dirs = jnp.array([[-0.9, -0.3, 0.1]], jnp.float32)
+    for path in assets:
+        params, meta = neural.load_params(str(path))
+        v, cap = neural.predict_directions(
+            params, origins, dirs, jnp.zeros(3), jnp.float32(2.0)
+        )
+        assert bool(jnp.all(jnp.isfinite(v))), path.name
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(v * v, axis=-1)), 1.0, atol=1e-5,
+            err_msg=path.name,
+        )
