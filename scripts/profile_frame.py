@@ -9,7 +9,8 @@ the per-frame TOTAL against the bench slope.
 
 Usage: python scripts/profile_frame.py [config] [n_frames]
   config in {headline, headline_mr3, rk4disk, rk4disk_mr3, kerr4k,
-  kerr4k_mr3, luma, luma_mr3, bilinear, bilinear_mr3}; default headline.
+  kerr4k_mr3, luma, luma_mr3, bilinear, bilinear_mr3, neural,
+  neural_xl}; default headline.
 """
 
 import glob
@@ -90,6 +91,19 @@ def main():
         base.update(
             skybox=procedural_starfield(2048, 4096, seed=2020),
             texture_filter="bilinear",
+        )
+    elif which.startswith("neural"):
+        # Phase-5 surrogate decomposition: MLP matmuls vs shading epilogue
+        asset = (
+            "neural_schwarzschild_orbit_xl.npz"
+            if which == "neural_xl"
+            else "neural_schwarzschild_orbit.npz"
+        )
+        base.update(
+            integrator="neural",
+            neural_params=os.path.join(
+                os.path.dirname(__file__), "..", "bhr_tpu", "assets", asset
+            ),
         )
     if which.endswith("_mr3"):
         mr = 3
