@@ -52,10 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--duration", type=float, metavar="SECONDS", help="auto-exit after N seconds (benchmarking)")
     p.add_argument("--debug-steps", action="store_true", help="step-count heatmap debug mode")
     p.add_argument("--integrator", default="euler",
-                   choices=["euler", "rk4", "leapfrog"],
+                   choices=["euler", "rk4", "leapfrog", "neural"],
                    help="geodesic integrator (replaces the reference --shader "
                         "hot-swap); leapfrog = the roadmap's symplectic "
-                        "comparator (ROADMAP.md:179-190)")
+                        "comparator (ROADMAP.md:179-190); neural = the "
+                        "Phase-5 MLP surrogate (ROADMAP.md:1217-1337, "
+                        "Schwarzschild only)")
     # TPU-native extensions
     p.add_argument("--model", default="schwarzschild",
                    choices=["schwarzschild", "kerr", "kerr_lt", "flat"],
@@ -100,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render with 1/N-resolution geodesics + shadow-edge "
                         "fix-up (roadmap Phase 4-1; ~1.7x faster at N=3, "
                         "SSIM ~0.9995); incompatible with --disk/--debug-steps")
+    p.add_argument("--neural-weights", metavar="PATH",
+                   help="surrogate weights for --integrator neural (default: "
+                        "the committed general net; the *_orbit[_xl].npz "
+                        "assets are distilled for the default orbit scene)")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="stream the live render as MJPEG over HTTP on PORT "
@@ -343,6 +349,7 @@ def main(argv=None) -> int:
         texture_subsample=texsub,
         tonemap=args.tonemap,
         multires=args.multires,
+        neural_params=args.neural_weights,
     )
     chunk = args.chunk if args.chunk > 0 else DEFAULT_CHUNK
     print(
