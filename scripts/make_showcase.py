@@ -41,6 +41,30 @@ def main():
     OrbitAnimator(r).save_video(
         os.path.join(OUT, "orbit_480.avi"), 90, fps=18.0, scene=vs
     )
+
+    # Phase-5 surrogate next to the integrated render: left = geodesic
+    # kernel, right = XL MLP (the point of the image is that you cannot
+    # tell which is which)
+    import numpy as np
+
+    nr = BlackHoleRenderer(
+        960, 540, integrator="neural",
+        neural_params=os.path.join(
+            os.path.dirname(__file__), "..", "bhr_tpu", "assets",
+            "neural_schwarzschild_orbit_xl.npz",
+        ),
+    )
+    left = np.asarray(r.render_frame(Camera.default(), scene))
+    right = np.asarray(nr.render_frame(Camera.default(), scene))
+    half_l = left[:, : 960 // 2]
+    half_r = right[:, 960 // 2 :]
+    divider = np.full((540, 2, 4), (255, 255, 255, 255), np.uint8)
+    combo = np.concatenate([half_l, divider, half_r[:, 2:]], axis=1)
+    from PIL import Image
+
+    Image.fromarray(combo, "RGBA").save(
+        os.path.join(OUT, "neural_split_960.png")
+    )
     print("showcase assets written to", os.path.abspath(OUT))
 
 
