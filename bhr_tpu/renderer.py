@@ -399,8 +399,14 @@ class BlackHoleRenderer:
                         "scripts/train_neural.py (or pass neural_params=)"
                     )
                 neural_params = str(default)
+            self._neural_domain = None
             if isinstance(neural_params, (str, bytes)):
-                neural_params, _ = load_params(neural_params)
+                neural_params, meta = load_params(neural_params)
+                if "r_range" in meta and "rs_range" in meta:
+                    self._neural_domain = (
+                        tuple(np.asarray(meta["r_range"], np.float32)),
+                        tuple(np.asarray(meta["rs_range"], np.float32)),
+                    )
             self.neural_params = jax.device_put(
                 neural_params, self.context.device
             )
@@ -534,6 +540,29 @@ class BlackHoleRenderer:
         scene = scene if scene is not None else self.scene
         if (scene.screen_width, scene.screen_height) != (self.width, self.height):
             scene = scene.replace(screen_width=self.width, screen_height=self.height)
+        if (
+            self.config.integrator == "neural"
+            and getattr(self, "_neural_domain", None) is not None
+        ):
+            # weights carry their trained (r0, rs) domain; outside it the
+            # surrogate extrapolates with unknown quality — warn, don't fail
+            r_rng, rs_rng = self._neural_domain
+            r0 = float(
+                np.linalg.norm(
+                    np.asarray(camera.position, np.float32)
+                    - np.asarray(scene.black_hole_position, np.float32)
+                )
+            )
+            rs_v = float(np.asarray(scene.schwarzschild_radius, np.float32))
+            if not (r_rng[0] <= r0 <= r_rng[1] and rs_rng[0] <= rs_v <= rs_rng[1]):
+                logger.warning(
+                    "neural surrogate extrapolating outside its trained "
+                    "domain: camera r0=%.1f (trained %.1f-%.1f), rs=%.2f "
+                    "(trained %.2f-%.2f) — quality is unvalidated there; "
+                    "retrain with scripts/train_neural.py or use the "
+                    "general weights",
+                    r0, r_rng[0], r_rng[1], rs_v, rs_rng[0], rs_rng[1],
+                )
         disk_params = (
             DiskParams.for_scene(scene.schwarzschild_radius) if self.config.disk else None
         )

@@ -199,3 +199,23 @@ def test_all_committed_assets_load_and_predict():
             np.asarray(jnp.sum(v * v, axis=-1)), 1.0, atol=1e-5,
             err_msg=path.name,
         )
+
+
+def test_domain_warning_on_extrapolation(caplog):
+    """Distilled weights carry their trained (r0, rs) domain in meta; a
+    render outside it must warn (not fail)."""
+    import logging as _logging
+
+    orbit = WEIGHTS.parent / "neural_schwarzschild_orbit.npz"
+    if not orbit.exists():
+        pytest.skip("distilled weights not trained yet")
+    r = BlackHoleRenderer(32, 24, integrator="neural", neural_params=str(orbit))
+    far_cam = Camera.new([50.0, 5.0, 0.0], [0, 0, 0], [0, 1, 0])
+    scene = SceneParams(screen_width=32, screen_height=24, max_steps=100)
+    with caplog.at_level(_logging.WARNING, logger="bhr_tpu"):
+        r.render_frame(far_cam, scene)
+    assert any("extrapolating" in rec.message for rec in caplog.records)
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING, logger="bhr_tpu"):
+        r.render_frame(Camera.default(), scene)  # inside the domain
+    assert not any("extrapolating" in rec.message for rec in caplog.records)
