@@ -1,0 +1,296 @@
+"""Monolithic Pallas kernel for the neural surrogate (roadmap Phase 5).
+
+One kernel renders the whole neural frame: in-kernel ray-gen -> reduced
+features -> the MLP as MXU matmuls -> in-plane rotation -> analytic star
+shading -> packed u32 pixels. Zero HBM intermediates: the staged XLA
+path materializes the (N, 16) feature matrix and (N, width) activations
+between fusions, which is most of its sustained-state frame time.
+
+Layout strategy (the part Mosaic dictates): per grid step the kernel
+owns a block of 8 x P pixels. All per-pixel math (ray-gen, features,
+rotation, shading) runs on (8, P) planes — full vector-register
+efficiency. The MXU wants pixels in the LANE dimension and features/
+hidden channels in the sublane dimension, so the matmul chain runs once
+per sublane row: a (16, P) feature matrix is assembled by sublane-concat
+of 16 (1, P) slices (cheap — sublanes are the flexible axis), then
+
+    h = tanh(W1^T (h1,16) @ F (16,P))   ... (h1,P)
+    h = tanh(Wk^T @ h)                   ... hidden chain
+    o = W4^T (8,h3) @ h                  ... (8,P): row 0 delta, row 1 logit
+
+with bf16 operands and fp32 accumulation — the same arithmetic XLA's
+DEFAULT precision uses, so the committed weights stay on their trained
+operating point (models/neural.py precision note). Per-row delta/logit
+slices concat back to (8, P) planes and the epilogue proceeds at full
+efficiency. Every shape here is compile-probed on the real v5e by
+scripts/neural_kernel_probe.py.
+
+Covers the analytic-star-field, passthrough-tonemap configuration (the
+benchmark/headline shape); texture tiers keep the staged XLA path, whose
+gather must run outside the kernel anyway (DESIGN.md section 3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.camera import Camera
+
+# params vector layout (fp32[24], SMEM)
+_P_CAM = 0  # 3: camera position
+_P_BH = 3  # 3: black hole position
+_P_FWD = 6  # 3: camera forward
+_P_RIGHT = 9  # 3: camera right
+_P_UP = 12  # 3: camera up
+_P_RS = 15  # schwarzschild radius
+_P_FOVF = 16  # tan(fov / 2)
+_P_WF = 17  # image width (fp32)
+_P_HF = 18  # image height (fp32)
+_P_ASPECT = 19  # width / height
+_PARAMS_LEN = 24
+
+_BC_FACTOR = 2.598076211  # models/neural.py critical-impact normalizer
+
+
+def prep_weights(params, dtype=jnp.bfloat16):
+    """MLP params -> kernel operand tuple.
+
+    Per layer: W (in, out) -> W^T (out, in) in `dtype`; b -> (out, 1)
+    fp32. The 2-wide head pads its out dim to 8 sublanes (rows 2..7 are
+    zeros and ignored).
+    """
+    out = []
+    n = len(params)
+    for i, (w, b) in enumerate(params):
+        wt = jnp.asarray(w, jnp.float32).T
+        bb = jnp.asarray(b, jnp.float32)[:, None]
+        if i == n - 1:
+            pad = 8 - wt.shape[0]
+            wt = jnp.pad(wt, ((0, pad), (0, 0)))
+            bb = jnp.pad(bb, ((0, pad), (0, 0)))
+        out.append(wt.astype(dtype))
+        out.append(bb)
+    return tuple(out)
+
+
+def _pack_params(camera: Camera, scene) -> jnp.ndarray:
+    fov = jnp.asarray(scene.fov, jnp.float32)
+    vals = [
+        jnp.asarray(camera.position, jnp.float32),
+        jnp.asarray(scene.black_hole_position, jnp.float32),
+        jnp.asarray(camera.forward, jnp.float32),
+        jnp.asarray(camera.right, jnp.float32),
+        jnp.asarray(camera.up, jnp.float32),
+        jnp.stack(
+            [
+                jnp.asarray(scene.schwarzschild_radius, jnp.float32),
+                jnp.tan(fov * 0.5),
+                jnp.float32(scene.screen_width),
+                jnp.float32(scene.screen_height),
+                jnp.float32(scene.screen_width) / jnp.float32(scene.screen_height),
+            ]
+        ),
+    ]
+    flat = jnp.concatenate(vals)
+    return jnp.pad(flat, (0, _PARAMS_LEN - flat.shape[0]))
+
+
+def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
+    """Kernel closure for an MLP with n_layers (W, b) pairs."""
+    from .starfield import procedural_background
+
+    def kernel(params, *refs):
+        wb = refs[: 2 * n_layers]
+        frame_o = refs[2 * n_layers]
+        g = pl.program_id(0)
+
+        cam = (params[_P_CAM], params[_P_CAM + 1], params[_P_CAM + 2])
+        bh = (params[_P_BH], params[_P_BH + 1], params[_P_BH + 2])
+        fwd = (params[_P_FWD], params[_P_FWD + 1], params[_P_FWD + 2])
+        right = (params[_P_RIGHT], params[_P_RIGHT + 1], params[_P_RIGHT + 2])
+        up = (params[_P_UP], params[_P_UP + 1], params[_P_UP + 2])
+        rs = params[_P_RS]
+        fov_factor = params[_P_FOVF]
+        wf = params[_P_WF]
+        hf = params[_P_HF]
+        aspect = params[_P_ASPECT]
+
+        # flat pixel ids for this (8, P) block; fp32-exact below 2^24
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (8, block_p), 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (8, block_p), 1)
+        pid = ((g * 8 + ridx) * block_p + cidx).astype(jnp.float32)
+        yl = jnp.floor(pid * (1.0 / wf))
+        xl = pid - yl * wf
+        neg = (xl < 0.0).astype(jnp.float32)
+        yl = yl - neg
+        xl = xl + neg * wf
+        ovr = (xl >= wf).astype(jnp.float32)
+        yl = yl + ovr
+        xl = xl - ovr * wf
+
+        # ray-gen (mirrors core/camera.generate_rays exactly)
+        u = (xl / wf - 0.5) * 2.0 * aspect
+        v = (yl / hf - 0.5) * -2.0
+        uf = u * fov_factor
+        vf = v * fov_factor
+        dx = fwd[0] + right[0] * uf + up[0] * vf
+        dy = fwd[1] + right[1] * uf + up[1] * vf
+        dz = fwd[2] + right[2] * uf + up[2] * vf
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv, dy * inv, dz * inv
+
+        # plane basis: u_hat is a per-frame CONSTANT (camera - bh scalars)
+        relx, rely, relz = cam[0] - bh[0], cam[1] - bh[1], cam[2] - bh[2]
+        r0 = jnp.sqrt(relx * relx + rely * rely + relz * relz)
+        ux, uy, uz = relx / r0, rely / r0, relz / r0
+        c = dx * ux + dy * uy + dz * uz
+        wx = dx - c * ux
+        wy = dy - c * uy
+        wz = dz - c * uz
+        s_raw = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        s_inv = 1.0 / jnp.maximum(s_raw, 1e-12)
+        whx, why, whz = wx * s_inv, wy * s_inv, wz * s_inv
+        s = jnp.clip(s_raw, 0.0, 1.0)
+
+        # features (models/neural.py ray_features, v2 map)
+        ones = jnp.ones((8, block_p), jnp.float32)
+        mu = (rs / r0) * ones
+        q = jnp.clip(_BC_FACTOR * rs / (r0 * s + 1e-6), 0.0, 4.0)
+        t = r0 * s / (_BC_FACTOR * rs) - 1.0
+        f_log = 0.2 * jnp.log(jnp.abs(t) + 1e-3)
+        f_sign = jnp.tanh(8.0 * t)
+        s2 = 2.0 * s * c
+        c2 = c * c - s * s
+        s4 = 2.0 * s2 * c2
+        c4 = c2 * c2 - s2 * s2
+        s8 = 2.0 * s4 * c4
+        c8 = c4 * c4 - s4 * s4
+        s16 = 2.0 * s8 * c8
+        c16 = c8 * c8 - s8 * s8
+        feats = (
+            mu, c, s, q, (0.25 * rs) * ones, (0.25 * jnp.log(r0)) * ones,
+            f_log, f_sign, s2, c2, s4, c4, s8, c8, s16, c16,
+        )
+
+        # MLP chain per sublane row: pixels ride the lane dimension
+        delta_rows = []
+        logit_rows = []
+        for r in range(8):
+            f_r = jnp.concatenate(
+                [f[r : r + 1, :] for f in feats], axis=0
+            ).astype(dtype)  # (16, P)
+            h = f_r
+            for li in range(n_layers):
+                wt = wb[2 * li][:]
+                bb = wb[2 * li + 1][:]
+                o = (
+                    jnp.dot(wt, h, preferred_element_type=jnp.float32)
+                    + bb
+                )
+                if li < n_layers - 1:
+                    h = jnp.tanh(o).astype(dtype)
+                else:
+                    h = o  # (8, P) fp32 head: row 0 delta, row 1 logit
+            delta_rows.append(h[0:1, :])
+            logit_rows.append(h[1:2, :])
+        delta = jnp.concatenate(delta_rows, axis=0)  # (8, P)
+        logit = jnp.concatenate(logit_rows, axis=0)
+
+        # in-plane rotation by delta (angle addition — no arctan2)
+        cd = jnp.cos(delta)
+        sd = jnp.sin(delta)
+        cos_phi = c * cd - s * sd
+        sin_phi = s * cd + c * sd
+        vx = cos_phi * ux + sin_phi * whx
+        vy = cos_phi * uy + sin_phi * why
+        vz = cos_phi * uz + sin_phi * whz
+        vinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+
+        # analytic star shading + captured-black + pack (the monolithic
+        # geodesic kernel's fast-tier epilogue, ops/pallas_trace.py)
+        r_, g_, b_ = procedural_background(vx, vy, vz, seed=seed)
+        live = (logit <= 0.0).astype(jnp.float32)
+
+        def quant(chan):
+            return (
+                jnp.floor(jnp.clip(chan * live, 0.0, 1.0) * 255.0 + 0.5)
+                .astype(jnp.int32)
+                .astype(jnp.uint32)
+            )
+
+        frame_o[:] = (
+            quant(r_)
+            | (quant(g_) << 8)
+            | (quant(b_) << 16)
+            | jnp.uint32(0xFF000000)
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "block_p", "seed", "interpret", "n_layers"),
+)
+def _render(packed_params, weight_ops, *, height, width, block_p, seed,
+            interpret, n_layers):
+    n = height * width
+    per_block = 8 * block_p
+    grid = -(-n // per_block)
+    kernel = _build_kernel(n_layers, block_p, seed, jnp.bfloat16)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for op in weight_ops:
+        in_specs.append(
+            pl.BlockSpec(
+                op.shape,
+                lambda g, nd=op.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, block_p), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid * 8, block_p), jnp.uint32),
+        interpret=interpret,
+    )(packed_params, *weight_ops)
+    return out.reshape(-1)[:n].reshape(height, width)
+
+
+def neural_render_packed(
+    params,
+    camera: Camera,
+    scene,
+    *,
+    seed: int = 2020,
+    block_p: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render one neural frame as a single fused kernel -> packed u32 (H, W).
+
+    `params` are models/neural.py MLP weights. Analytic star field +
+    passthrough tonemap only (the staged XLA path covers everything else).
+    `block_p` = lanes per 8-row pixel block (v5e sweep at 1080p: 256/512/
+    1024/2048/4096/8192 -> 5.57/3.10/2.02/1.79/1.75/2.11 ms — bigger
+    blocks amortize the per-row matmul chain until VMEM pressure bites).
+    """
+    weight_ops = prep_weights(params)
+    return _render(
+        _pack_params(camera, scene),
+        weight_ops,
+        height=scene.screen_height,
+        width=scene.screen_width,
+        block_p=block_p,
+        seed=seed,
+        interpret=interpret,
+        n_layers=len(params),
+    )

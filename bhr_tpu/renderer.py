@@ -164,6 +164,25 @@ def render_image(
     if config.integrator == "neural":
         # roadmap Phase 5: the deflection field comes from the MLP
         # surrogate (MXU matmuls) instead of geodesic integration
+        if (
+            use_pallas
+            and not interpret
+            and skybox is None
+            and tonemap == "passthrough"
+            and scene.debug_mode == 0
+        ):
+            # monolithic kernel: ray-gen -> features -> MXU MLP ->
+            # rotation -> star shading -> packed u32, zero HBM
+            # intermediates (ops/neural_pallas.py; 1.75 vs the staged
+            # path's 5.4 ms sustained at 1080p). Matmul semantics match
+            # both staged dtypes (bf16 operands, fp32 accumulation ==
+            # XLA's DEFAULT fp32-on-TPU lowering).
+            from .ops.neural_pallas import neural_render_packed
+
+            frame = neural_render_packed(
+                neural_params, camera, scene, seed=seed
+            )
+            return frame if packed else unpack_frame(frame)
         from .ops.neural_trace import neural_trace_image
 
         result = neural_trace_image(

@@ -219,3 +219,35 @@ def test_domain_warning_on_extrapolation(caplog):
     with caplog.at_level(_logging.WARNING, logger="bhr_tpu"):
         r.render_frame(Camera.default(), scene)  # inside the domain
     assert not any("extrapolating" in rec.message for rec in caplog.records)
+
+
+def test_monolithic_kernel_matches_staged_bf16(tmp_path):
+    """The fused Pallas kernel (interpret mode) must reproduce the staged
+    XLA path at matching matmul semantics (bf16 operands): the kernel IS
+    the TPU production path for the star-field configuration."""
+    orbit = WEIGHTS.parent / "neural_schwarzschild_orbit.npz"
+    if not orbit.exists():
+        pytest.skip("distilled weights not trained yet")
+    from bhr_tpu.ops.neural_pallas import neural_render_packed
+    from bhr_tpu.ops.sampling import unpack_frame
+    from bhr_tpu.renderer import render_image
+
+    params, _ = neural.load_params(str(orbit))
+    scene = SceneParams(screen_width=128, screen_height=96, max_steps=500)
+    cam = Camera.default()
+    kernel_frame = np.asarray(
+        unpack_frame(neural_render_packed(params, cam, scene, interpret=True))
+    ).astype(np.int32)
+    staged = np.asarray(
+        render_image(
+            cam, scene, None, None, None,
+            config=TraceConfig(integrator="neural"), use_pallas=False,
+            tile=(8, 128), fast_math=True, tonemap="passthrough",
+            interpret=True, neural_params=params, neural_dtype="bfloat16",
+        )
+    ).astype(np.int32)
+    diff = np.abs(kernel_frame - staged).max(-1)
+    # residual = fp32 op-ordering differences under bf16 input rounding
+    assert (diff > 2).mean() < 1e-3
+    assert diff.max() <= 255  # sanity
+    assert (diff == 0).mean() > 0.99
