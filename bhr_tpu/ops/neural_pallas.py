@@ -272,17 +272,23 @@ def neural_render_packed(
     scene,
     *,
     seed: int = 2020,
-    block_p: int = 4096,
+    block_p: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Render one neural frame as a single fused kernel -> packed u32 (H, W).
 
     `params` are models/neural.py MLP weights. Analytic star field +
     passthrough tonemap only (the staged XLA path covers everything else).
-    `block_p` = lanes per 8-row pixel block (v5e sweep at 1080p: 256/512/
-    1024/2048/4096/8192 -> 5.57/3.10/2.02/1.79/1.75/2.11 ms — bigger
-    blocks amortize the per-row matmul chain until VMEM pressure bites).
+    `block_p` = lanes per 8-row pixel block. Bigger blocks amortize the
+    per-row matmul chain until activation VMEM pressure bites, so the
+    default scales with the network width (v5e sweeps at 1080p:
+    3x128 net 256/512/1024/2048/4096/8192 -> 5.57/3.10/2.02/1.79/1.75/
+    2.11 ms, optimum 4096; 3x256 net 1024/2048/4096 -> 4.38/4.34/4.90,
+    optimum 2048).
     """
+    if block_p is None:
+        widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
+        block_p = 4096 if widest <= 128 else 2048
     weight_ops = prep_weights(params)
     return _render(
         _pack_params(camera, scene),
