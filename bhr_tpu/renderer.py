@@ -164,12 +164,23 @@ def render_image(
     if config.integrator == "neural":
         # roadmap Phase 5: the deflection field comes from the MLP
         # surrogate (MXU matmuls) instead of geodesic integration
+        neural_shapes_ok = (
+            neural_params is not None
+            and len(neural_params) >= 2
+            and neural_params[0][0].shape[0] == 16  # N_FEATURES the kernel builds
+            and neural_params[-1][0].shape[1] == 2  # delta + capture head
+            # Mosaic shapes compile-probed on the v5e for 128/256-wide
+            # hidden layers (scripts/neural_kernel_probe.py); other widths
+            # take the staged path until probed
+            and all(w.shape[1] % 128 == 0 for w, _ in neural_params[:-1])
+        )
         if (
             use_pallas
             and not interpret
             and skybox is None
             and tonemap == "passthrough"
             and scene.debug_mode == 0
+            and neural_shapes_ok
         ):
             # monolithic kernel: ray-gen -> features -> MXU MLP ->
             # rotation -> star shading -> packed u32, zero HBM
