@@ -52,6 +52,7 @@ _P_FOVF = 16  # tan(fov / 2)
 _P_WF = 17  # image width (fp32)
 _P_HF = 18  # image height (fp32)
 _P_ASPECT = 19  # width / height
+_P_IDOFF = 20  # flat-pixel-id offset (row0 * width; band rendering)
 _PARAMS_LEN = 24
 
 _BC_FACTOR = 2.598076211  # models/neural.py critical-impact normalizer
@@ -78,7 +79,7 @@ def prep_weights(params, dtype=jnp.bfloat16):
     return tuple(out)
 
 
-def _pack_params(camera: Camera, scene) -> jnp.ndarray:
+def _pack_params(camera: Camera, scene, row0=0) -> jnp.ndarray:
     fov = jnp.asarray(scene.fov, jnp.float32)
     vals = [
         jnp.asarray(camera.position, jnp.float32),
@@ -93,6 +94,8 @@ def _pack_params(camera: Camera, scene) -> jnp.ndarray:
                 jnp.float32(scene.screen_width),
                 jnp.float32(scene.screen_height),
                 jnp.float32(scene.screen_width) / jnp.float32(scene.screen_height),
+                # fp32-exact for any frame below 2^24 pixels
+                jnp.asarray(row0, jnp.float32) * jnp.float32(scene.screen_width),
             ]
         ),
     ]
@@ -123,7 +126,9 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
         # flat pixel ids for this (8, P) block; fp32-exact below 2^24
         ridx = jax.lax.broadcasted_iota(jnp.int32, (8, block_p), 0)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (8, block_p), 1)
-        pid = ((g * 8 + ridx) * block_p + cidx).astype(jnp.float32)
+        pid = ((g * 8 + ridx) * block_p + cidx).astype(jnp.float32) + params[
+            _P_IDOFF
+        ]
         yl = jnp.floor(pid * (1.0 / wf))
         xl = pid - yl * wf
         neg = (xl < 0.0).astype(jnp.float32)
@@ -240,6 +245,8 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
 )
 def _render(packed_params, weight_ops, *, height, width, block_p, seed,
             interpret, n_layers):
+    """`height` here is the number of OUTPUT rows (a band or the full
+    frame); the full-image dims ride in packed_params for ray-gen."""
     n = height * width
     per_block = 8 * block_p
     grid = -(-n // per_block)
@@ -294,6 +301,36 @@ def neural_render_packed(
         _pack_params(camera, scene),
         weight_ops,
         height=scene.screen_height,
+        width=scene.screen_width,
+        block_p=block_p,
+        seed=seed,
+        interpret=interpret,
+        n_layers=len(params),
+    )
+
+
+def neural_render_packed_band(
+    params,
+    camera: Camera,
+    scene,
+    row0,
+    band_h: int,
+    *,
+    seed: int = 2020,
+    block_p: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Band flavor for mesh-sharded rendering: rows [row0, row0 + band_h)
+    of the full frame as packed u32 (band_h, W). `row0` may be traced
+    (shard_map axis_index); UVs always reference the full image dims."""
+    if block_p is None:
+        widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
+        block_p = 4096 if widest <= 128 else 2048
+    weight_ops = prep_weights(params)
+    return _render(
+        _pack_params(camera, scene, row0=row0),
+        weight_ops,
+        height=band_h,
         width=scene.screen_width,
         block_p=block_p,
         seed=seed,

@@ -83,7 +83,28 @@ def _render_band(
 
     if config.integrator == "neural":
         # Phase-5 surrogate band: the MLP deflection field is trivially
-        # row-shardable (pure per-pixel matmul batch)
+        # row-shardable (pure per-pixel matmul batch). Star-field bands on
+        # real hardware use the fused MXU kernel (same gating as the
+        # renderer); everything else takes the staged path.
+        shapes_ok = (
+            neural_params is not None
+            and len(neural_params) >= 2
+            and neural_params[0][0].shape[0] == 16
+            and neural_params[-1][0].shape[1] == 2
+            and all(w.shape[1] % 128 == 0 for w, _ in neural_params[:-1])
+        )
+        if (
+            not interpret
+            and skybox is None
+            and tonemap == "passthrough"
+            and scene.debug_mode == 0
+            and shapes_ok
+        ):
+            from ..ops.neural_pallas import neural_render_packed_band
+
+            return neural_render_packed_band(
+                neural_params, camera, scene, row0, band_h, seed=seed
+            )
         from ..ops.neural_trace import neural_trace_image
 
         result = neural_trace_image(

@@ -251,3 +251,28 @@ def test_monolithic_kernel_matches_staged_bf16(tmp_path):
     assert (diff > 2).mean() < 1e-3
     assert diff.max() <= 255  # sanity
     assert (diff == 0).mean() > 0.99
+
+
+def test_band_kernel_matches_full_frame_slice():
+    """The band flavor (mesh sharding) must reproduce the corresponding
+    rows of the full-frame kernel render exactly — same ids, same math."""
+    orbit = WEIGHTS.parent / "neural_schwarzschild_orbit.npz"
+    if not orbit.exists():
+        pytest.skip("distilled weights not trained yet")
+    from bhr_tpu.ops.neural_pallas import (
+        neural_render_packed,
+        neural_render_packed_band,
+    )
+
+    params, _ = neural.load_params(str(orbit))
+    scene = SceneParams(screen_width=128, screen_height=64, max_steps=500)
+    cam = Camera.default()
+    full = np.asarray(
+        neural_render_packed(params, cam, scene, interpret=True)
+    )
+    band = np.asarray(
+        neural_render_packed_band(
+            params, cam, scene, 16, 32, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(band, full[16:48])
