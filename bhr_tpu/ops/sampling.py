@@ -14,6 +14,9 @@ parts).
 
 from __future__ import annotations
 
+import math
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +90,43 @@ def _corner_layout(tex) -> str | None:
     if tex.ndim != 3:
         return None
     return "rows" if tex.shape[-1] == 3 else "planes"
+
+
+def _scramble_mult(n: int) -> int | None:
+    """Multiplier for the corner-rows index scramble, or None to disable.
+
+    v5e row gathers (`take(table(N,3), idx, axis=0)`) price ~2x higher for
+    spatially COHERENT indices than for scattered ones (44.8 vs 22.7 ms at
+    2.07M indices — scripts/sampler_coherence_probe.py; the round-2
+    gather_bench "pattern-independent" result holds only for flat 1-word
+    takes). Footprint indices from a smooth deflection field are maximally
+    coherent, so the rows table is stored PERMUTED by f' = (f * A) mod N
+    and the sampler applies the same map to its indices — bit-identical
+    output, ~1.8x cheaper gather (scripts/sampler_scramble_probe.py:
+    stride-A scatter measures within ~8% of the random-scatter floor,
+    while padding to a pow2 table pays the >134 MB big-table penalty).
+
+    Correctness constraints: A*(n-1) must not overflow u32 (no x64 on
+    TPU — the golden-ratio constant wraps mod 2^32 and is NOT injective),
+    and gcd(A, n) == 1 for bijectivity. Deterministic in n, so the table
+    builder and the sampler always agree."""
+    if os.environ.get("BHR_TEX_SCRAMBLE", "1") == "0":
+        return None
+    limit = (2**32 - 1) // max(n - 1, 1)
+    for a in (509, 503, 499, 491, 127, 113, 61, 31, 13, 7, 5, 3):
+        if a <= limit and math.gcd(a, n) == 1:
+            return a
+    return None
+
+
+def _scramble_idx(idx, n: int):
+    """Apply the index scramble (int32 flat indices -> int32)."""
+    a = _scramble_mult(n)
+    if a is None:
+        return idx
+    return (
+        (idx.astype(jnp.uint32) * jnp.uint32(a)) % jnp.uint32(n)
+    ).astype(jnp.int32)
 
 
 def _footprint(u, v, w, h):
@@ -204,7 +244,9 @@ def corner_pack_texture(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(planes)
 
 
-def corner_pack_texture_rows(packed: jnp.ndarray) -> jnp.ndarray:
+def corner_pack_texture_rows(
+    packed: jnp.ndarray, scramble: bool = True
+) -> jnp.ndarray:
     """Packed-u32 (H, W) equirect texture -> interleaved corner rows
     (H+1, W, 3) u32: row-major footprint f = (row, u) holds the THREE
     channel corner-words of corner_pack_texture side by side.
@@ -216,6 +258,15 @@ def corner_pack_texture_rows(packed: jnp.ndarray) -> jnp.ndarray:
     Packing a footprint's three channel corner-words contiguously makes
     EXACT bilinear cost ONE gather per pixel — same index count as the
     nearest tier — instead of the planar layout's three.
+
+    With `scramble` (the default) the rows are stored PERMUTED by
+    f' = (f * A) mod N and the samplers apply the same map to their
+    indices: row gathers price ~2x higher at spatially coherent indices
+    than at scattered ones on v5e, and footprint indices from a smooth
+    deflection field are maximally coherent (see _scramble_mult).
+    `scramble=False` keeps the identity layout for probes/tests that
+    index the table directly — the samplers below always assume the
+    scrambled layout, so never feed them a scramble=False table.
 
     Same 3x HBM footprint as the planar layout; bit-identical sampling
     (the corner words are the same, only their addresses change).
@@ -230,7 +281,19 @@ def corner_pack_texture_rows(packed: jnp.ndarray) -> jnp.ndarray:
         core = c | (right << 8) | (down << 16) | (down_right << 24)
         top = c[0:1] | (right[0:1] << 8) | (c[0:1] << 16) | (right[0:1] << 24)
         planes.append(jnp.concatenate([top, core], axis=0))
-    return jnp.stack(planes, axis=-1)
+    rows = jnp.stack(planes, axis=-1)
+    n = (h + 1) * w
+    a = _scramble_mult(n) if scramble else None
+    if a is None:
+        return rows
+    flat = rows.reshape(-1, 3)
+    perm = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(a)) % jnp.uint32(n)
+    return (
+        jnp.zeros_like(flat)
+        .at[perm.astype(jnp.int32)]
+        .set(flat)
+        .reshape(h + 1, w, 3)
+    )
 
 
 def _sample_corner_rows(cr: jnp.ndarray, u, v):
@@ -244,7 +307,7 @@ def _sample_corner_rows(cr: jnp.ndarray, u, v):
     out_shape = u.shape
     x0, y0f, fx, fy = _footprint(u, v, w, h)
     row = jnp.clip(y0f + 1, 0, h)
-    idx = (row * w + x0).reshape(-1)
+    idx = _scramble_idx((row * w + x0).reshape(-1), (h + 1) * w)
     # one per-index slice-3 row gather; channel extraction by minor-dim
     # slicing (measured fastest of the epilogue forms on v5e — an explicit
     # transpose to (3, P) costs ~6 ms more; scripts/bilinear_ab.py)
@@ -537,7 +600,9 @@ def sample_equirect_packed_checkerboard(
             io, fxo, fyo = corner_idx(uo, vo)
             set_idx = jnp.concatenate([ie.reshape(-1), io.reshape(-1)])
             if layout == "rows":
-                # one slice-3 row gather for both checker sets
+                # one slice-3 row gather for both checker sets (indices
+                # scrambled to match the permuted table — see _scramble_mult)
+                set_idx = _scramble_idx(set_idx, (th_ + 1) * tw_)
                 words3 = jnp.transpose(
                     jnp.take(packed_texture.reshape(-1, 3), set_idx, axis=0),
                     (1, 0),

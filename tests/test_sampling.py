@@ -116,10 +116,18 @@ def test_corner_rows_bit_matches_four_gather():
     packed = pack_texture_rgba8(tex)
     cr = jax.jit(corner_pack_texture_rows)(packed)
     assert cr.shape == (17, 32, 3)
-    # the interleaved rows hold the SAME corner words as the planar layout
+    # the (unscrambled) interleaved rows hold the SAME corner words as the
+    # planar layout; the default scrambled build is that table row-permuted
+    cr_plain = jax.jit(
+        lambda p: corner_pack_texture_rows(p, scramble=False)
+    )(packed)
     cp = jax.jit(corner_pack_texture)(packed)
     np.testing.assert_array_equal(
-        np.asarray(cr), np.transpose(np.asarray(cp), (1, 2, 0))
+        np.asarray(cr_plain), np.transpose(np.asarray(cp), (1, 2, 0))
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(cr).reshape(-1, 3), axis=0),
+        np.sort(np.asarray(cr_plain).reshape(-1, 3), axis=0),
     )
     rng = np.random.RandomState(5)
     d = rng.randn(4000, 3).astype(np.float32)
@@ -129,6 +137,67 @@ def test_corner_rows_bit_matches_four_gather():
     a = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
     b = np.stack(sample_equirect_packed(cr, dx, dy, dz), -1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_rows_scramble_is_bijective_and_bit_exact():
+    """The coherence-defeating index scramble (f' = f*A mod N, table rows
+    stored permuted — see sampling._scramble_mult) must be a true
+    bijection and bit-invisible to the sampler, including for texture
+    shapes where N shares a factor with the preferred multiplier or N is
+    too large for it (u32-overflow guard)."""
+    import jax
+
+    from bhr_tpu.ops.sampling import (
+        _scramble_mult,
+        corner_pack_texture_rows,
+    )
+
+    rng = np.random.RandomState(11)
+    d = rng.randn(2000, 3).astype(np.float32)
+    dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
+    # (h, w) cases: generic; (h+1)*w divisible by 509 (gcd fallback);
+    # non-pow2 width (odd-shaped texture)
+    for h, w in ((16, 32), (508, 16), (20, 30)):
+        n = (h + 1) * w
+        a = _scramble_mult(n)
+        assert a is not None and a * (n - 1) < 2**32
+        import math
+
+        assert math.gcd(a, n) == 1
+        if n % 509 == 0:
+            assert a != 509
+        perm = (np.arange(n, dtype=np.uint64) * a) % n
+        assert len(np.unique(perm)) == n  # bijective
+        tex = _tex(h, w, seed=h + w)
+        packed = pack_texture_rgba8(tex)
+        cr = jax.jit(corner_pack_texture_rows)(packed)
+        ref = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
+        got = np.stack(sample_equirect_packed(cr, dx, dy, dz), -1)
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_rows_scramble_env_kill_switch(monkeypatch):
+    """BHR_TEX_SCRAMBLE=0 must disable the permutation consistently in
+    builder AND sampler (the A/B knob for on-device measurement).
+
+    Built eagerly: the env var is read at trace time, so a jitted build
+    here could replay another test's cached (scrambled) executable."""
+    from bhr_tpu.ops.sampling import corner_pack_texture_rows
+
+    tex = _tex(16, 32, seed=9)
+    packed = pack_texture_rgba8(tex)
+    monkeypatch.setenv("BHR_TEX_SCRAMBLE", "0")
+    cr_off = corner_pack_texture_rows(packed)
+    np.testing.assert_array_equal(
+        np.asarray(cr_off),
+        np.asarray(corner_pack_texture_rows(packed, scramble=False)),
+    )
+    rng = np.random.RandomState(13)
+    d = rng.randn(500, 3).astype(np.float32)
+    dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
+    ref = np.stack(sample_equirect_packed(packed, dx, dy, dz), -1)
+    got = np.stack(sample_equirect_packed(cr_off, dx, dy, dz), -1)
+    np.testing.assert_array_equal(ref, got)
 
 
 def test_corner_rows_checkerboard_matches_planar():
