@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all setup native run bench test lab fmt lint info clean
+.PHONY: all setup native run bench bench-suite test lab fmt lint info clean
 
 all: native test
 
@@ -30,6 +30,11 @@ run: native
 # headline benchmark -> one JSON line
 bench:
 	$(PY) bench.py
+
+# full BENCHMARKS.md table, one session -> measurements/bench_suite_*.json
+# (compare two runs with scripts/bench_compare.py)
+bench-suite:
+	$(PY) scripts/bench_suite.py
 
 # CPU test suite with 8 virtual devices
 test:

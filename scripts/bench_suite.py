@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""One-command reproduction of the full BENCHMARKS.md table, one session.
+
+Runs every row of the BASELINE config suite + texture tiers + the neural
+surrogate through `bench.py`, each in a FRESH subprocess (the replay-proof
+protocol bench.py documents: fresh per-process compiles keep every timed
+dispatch un-replayable by the remote executor's result cache), collects the
+one-line JSON results, writes `measurements/bench_suite_<ts>.json`, and
+prints a Markdown table.
+
+Because chip-state windows hours apart shift all numbers ~8-25%
+(BENCHMARKS.md methodology note), rows measured by ONE invocation of this
+script are mutually comparable — that is its point. Reference analog: the
+tagged `--perf-log` CSV comparison workflow (reference src/main.rs:200-262),
+promoted to a push-button suite.
+
+Usage:
+  python scripts/bench_suite.py               # full suite (~20-30 min)
+  python scripts/bench_suite.py --quick       # headline/exact/texture rows
+  python scripts/bench_suite.py --only kerr   # name-substring filter
+  python scripts/bench_suite.py --list        # show rows and exit
+"""
+
+import argparse
+import datetime
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# (name, env overrides, in --quick subset). FRAMES trimmed for the slow 4K
+# stress row so the suite stays under ~30 min over the tunnel; the slope
+# protocol is scan-length-invariant (BENCHMARKS.md).
+SUITE = [
+    ("headline_1080p_fast", {}, True),
+    ("exact_tier_1080p", {"BHR_BENCH_FAST": "0"}, True),
+    ("default_800x600", {"BHR_BENCH_W": "800", "BHR_BENCH_H": "600"}, False),
+    (
+        "config4_rk4_adaptive_disk",
+        {
+            "BHR_BENCH_INTEGRATOR": "rk4",
+            "BHR_BENCH_ADAPTIVE": "1",
+            "BHR_BENCH_DISK": "1",
+        },
+        False,
+    ),
+    (
+        "config4_multires3",
+        {
+            "BHR_BENCH_INTEGRATOR": "rk4",
+            "BHR_BENCH_ADAPTIVE": "1",
+            "BHR_BENCH_DISK": "1",
+            "BHR_BENCH_MULTIRES": "3",
+        },
+        False,
+    ),
+    (
+        "config5_4k_kerr_stress",
+        {
+            "BHR_BENCH_W": "3840",
+            "BHR_BENCH_H": "2160",
+            "BHR_BENCH_STEPS": "2000",
+            "BHR_BENCH_MODEL": "kerr",
+            "BHR_BENCH_DISK": "1",
+            "BHR_BENCH_FRAMES": "30",
+        },
+        False,
+    ),
+    (
+        "texture_nearest_sub2",
+        {"BHR_BENCH_TEXTURE": "nearest", "BHR_BENCH_TEXSUB": "2"},
+        True,
+    ),
+    (
+        "texture_bilinear_checker",
+        {"BHR_BENCH_TEXTURE": "bilinear", "BHR_BENCH_TEXSUB": "checker"},
+        False,
+    ),
+    ("texture_bilinear_exact", {"BHR_BENCH_TEXTURE": "bilinear"}, True),
+    ("texture_luma_sub4", {"BHR_BENCH_TEXTURE": "luma", "BHR_BENCH_TEXSUB": "4"}, False),
+    ("neural_surrogate", {"BHR_BENCH_INTEGRATOR": "neural"}, False),
+]
+
+
+def run_row(name, overrides, timeout_s):
+    env = dict(os.environ)
+    env.update(overrides)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout_s,
+        cwd=str(REPO),
+    )
+    result, error = None, None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            result = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if proc.returncode != 0 or result is None:
+        error = (proc.stderr or proc.stdout).strip()[-2000:]
+    return {"name": name, "env": overrides, "result": result, "error": error}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--quick", action="store_true", help="headline+texture subset")
+    ap.add_argument("--only", help="run rows whose name contains this substring")
+    ap.add_argument("--list", action="store_true", help="list rows and exit")
+    ap.add_argument(
+        "--timeout", type=int, default=1800, help="per-row subprocess timeout (s)"
+    )
+    ap.add_argument("--out", help="output JSON path (default measurements/...)")
+    args = ap.parse_args(argv)
+
+    rows = SUITE
+    if args.quick:
+        rows = [r for r in rows if r[2]]
+    if args.only:
+        rows = [r for r in rows if args.only in r[0]]
+    if args.list or not rows:
+        for name, overrides, quick in rows:
+            print(f"{name:32s} {'[quick] ' if quick else ''}{overrides}")
+        return 0
+
+    started = datetime.datetime.now(datetime.timezone.utc)
+    out = []
+    for i, (name, overrides, _) in enumerate(rows):
+        print(f"[{i + 1}/{len(rows)}] {name} ...", flush=True)
+        try:
+            row = run_row(name, overrides, args.timeout)
+        except subprocess.TimeoutExpired:
+            row = {"name": name, "env": overrides, "result": None,
+                   "error": f"timeout after {args.timeout}s"}
+        out.append(row)
+        r = row["result"]
+        if r:
+            print(
+                f"    {r['value']:.2f} ms/frame  slopes={r.get('slopes_ms')}  "
+                f"{r.get('mray_steps_per_sec', 0) / 1000.0:.1f} Gray-steps/s",
+                flush=True,
+            )
+        else:
+            print(f"    FAILED: {row['error'][:200]}", flush=True)
+
+    finished = datetime.datetime.now(datetime.timezone.utc)
+    ts = started.strftime("%Y%m%d_%H%M%S")
+    path = pathlib.Path(
+        args.out or REPO / "measurements" / f"bench_suite_{ts}.json"
+    )
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "started_utc": started.isoformat(),
+        "finished_utc": finished.isoformat(),
+        "single_session": True,
+        "rows": out,
+    }
+    path.write_text(json.dumps(payload, indent=1))
+    print(f"\nwrote {path}\n")
+
+    print("| row | ms/frame | slopes [best-of] | Gray-steps/s |")
+    print("|---|---:|---|---:|")
+    for row in out:
+        r = row["result"]
+        if r:
+            print(
+                f"| {row['name']} | **{r['value']:.2f}** | {r.get('slopes_ms')} "
+                f"| {r.get('mray_steps_per_sec', 0) / 1000.0:.1f} |"
+            )
+        else:
+            print(f"| {row['name']} | FAILED | | |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,6 +26,46 @@ def test_boundary_distance_stats():
     assert md == 64 and f2 == 0.0
 
 
+def test_bench_suite_listing_and_compare(tmp_path, capsys):
+    import bench_compare
+    import bench_suite
+
+    # every suite row must set only env knobs bench.py documents
+    documented = {
+        "BHR_BENCH_W", "BHR_BENCH_H", "BHR_BENCH_STEPS", "BHR_BENCH_FRAMES",
+        "BHR_BENCH_FAST", "BHR_BENCH_TEXTURE", "BHR_BENCH_TEXSUB",
+        "BHR_BENCH_MULTIRES", "BHR_BENCH_MODEL", "BHR_BENCH_DISK",
+        "BHR_BENCH_INTEGRATOR", "BHR_BENCH_ADAPTIVE", "BHR_BENCH_SPIN",
+    }
+    names = set()
+    for name, overrides, _quick in bench_suite.SUITE:
+        assert name not in names, f"duplicate suite row {name}"
+        names.add(name)
+        assert set(overrides) <= documented
+    assert bench_suite.main(["--list"]) == 0
+    capsys.readouterr()
+
+    def suite_json(values):
+        return {
+            "rows": [
+                {"name": n, "env": {}, "result": {"value": v}}
+                for n, v in values.items()
+            ]
+        }
+
+    import json
+
+    old_p, new_p = str(tmp_path / "old.json"), str(tmp_path / "new.json")
+    json.dump(suite_json({"a": 10.0, "b": 20.0, "gone": 5.0}), open(old_p, "w"))
+    json.dump(suite_json({"a": 10.5, "b": 20.0, "new": 7.0}), open(new_p, "w"))
+    assert bench_compare.main([old_p, new_p]) == 0  # +5% under threshold
+    out = capsys.readouterr().out
+    assert "only in old: gone" in out and "only in new: new" in out
+    json.dump(suite_json({"a": 13.0}), open(new_p, "w"))
+    assert bench_compare.main([old_p, new_p]) == 1  # +30% regression
+    assert "REGRESSED" in capsys.readouterr().out
+
+
 def test_ssim_identity_and_sensitivity():
     from multires_diff import ssim
 
