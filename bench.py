@@ -33,7 +33,8 @@ BHR_BENCH_ORACLE=1 (XLA path), BHR_BENCH_TEXTURE=bilinear|nearest|luma
 (render against a 4K equirect texture skybox instead of the analytic star
 field — the reference's actual workload shape), BHR_BENCH_TEXSUB=
 2|checker, BHR_BENCH_MULTIRES=N, BHR_BENCH_MODEL/DISK/INTEGRATOR/
-ADAPTIVE/SPIN.
+ADAPTIVE/SPIN, BHR_BENCH_PLATFORM=cpu (force a backend; the env var
+JAX_PLATFORMS alone is overridden by the boot hook).
 """
 
 import json
@@ -45,6 +46,11 @@ import jax
 
 
 def main():
+    platform = os.environ.get("BHR_BENCH_PLATFORM")
+    if platform:
+        # the boot hook re-forces JAX_PLATFORMS=axon, so the env var alone
+        # cannot select CPU; the config update can (CLAUDE.md gotchas)
+        jax.config.update("jax_platforms", platform)
     if os.environ.get("BHR_COMPILE_CACHE"):
         # OPT-IN only for timed runs: with the persistent compile cache the
         # executable is bit-identical across bench processes, so the remote

@@ -43,6 +43,9 @@ def main(argv=None):
     print("|---|---:|---:|---:|")
     for name in shared:
         o, n = old[name]["value"], new[name]["value"]
+        if not isinstance(o, (int, float)) or o <= 0:
+            print(f"| {name} | {o} | {n} | incomparable (old value <= 0) |")
+            continue
         rel = (n - o) / o
         flag = " **REGRESSED**" if rel > args.threshold else ""
         print(f"| {name} | {o:.2f} | {n:.2f} | {rel:+.1%}{flag} |")

@@ -35,9 +35,23 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 # stress row so the suite stays under ~30 min over the tunnel; the slope
 # protocol is scan-length-invariant (BENCHMARKS.md).
 SUITE = [
+    (
+        "config1_cpu_oracle_256",
+        {
+            "BHR_BENCH_PLATFORM": "cpu",
+            "BHR_BENCH_ORACLE": "1",
+            "BHR_BENCH_W": "256",
+            "BHR_BENCH_H": "256",
+            "BHR_BENCH_STEPS": "200",
+            "BHR_BENCH_FRAMES": "24",
+        },
+        False,
+    ),
     ("headline_1080p_fast", {}, True),
     ("exact_tier_1080p", {"BHR_BENCH_FAST": "0"}, True),
     ("default_800x600", {"BHR_BENCH_W": "800", "BHR_BENCH_H": "600"}, False),
+    ("multires2_1080p", {"BHR_BENCH_MULTIRES": "2"}, False),
+    ("multires3_1080p", {"BHR_BENCH_MULTIRES": "3"}, False),
     (
         "config4_rk4_adaptive_disk",
         {
@@ -80,14 +94,58 @@ SUITE = [
         False,
     ),
     ("texture_bilinear_exact", {"BHR_BENCH_TEXTURE": "bilinear"}, True),
+    ("texture_nearest_full", {"BHR_BENCH_TEXTURE": "nearest"}, False),
+    (
+        "texture_nearest_sub2_multires3",
+        {
+            "BHR_BENCH_TEXTURE": "nearest",
+            "BHR_BENCH_TEXSUB": "2",
+            "BHR_BENCH_MULTIRES": "3",
+        },
+        False,
+    ),
     ("texture_luma_sub4", {"BHR_BENCH_TEXTURE": "luma", "BHR_BENCH_TEXSUB": "4"}, False),
+    ("texture_luma_full", {"BHR_BENCH_TEXTURE": "luma"}, False),
     ("neural_surrogate", {"BHR_BENCH_INTEGRATOR": "neural"}, False),
+    (
+        "neural_xl",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_schwarzschild_orbit_xl.npz",
+        },
+        False,
+    ),
+    (
+        "neural_bf16",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_NEURAL_DTYPE": "bfloat16",
+        },
+        False,
+    ),
 ]
+
+# Inherited env keys that silently change what bench.py measures. They are
+# stripped from every row's subprocess env (the row overrides are the ONLY
+# BHR_* knobs in effect) so a stray `BHR_BENCH_FAST=0` or
+# `BHR_COMPILE_CACHE=1` in the caller's shell cannot make a run look
+# canonical while measuring something else.
+_KNOB_PREFIXES = ("BHR_BENCH_", "BHR_COMPILE_CACHE", "BHR_TEX_SCRAMBLE")
+
+
+def _clean_env(overrides):
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(_KNOB_PREFIXES)
+    }
+    dropped = sorted(k for k in os.environ if k.startswith(_KNOB_PREFIXES))
+    env.update(overrides)
+    return env, dropped
 
 
 def run_row(name, overrides, timeout_s):
-    env = dict(os.environ)
-    env.update(overrides)
+    env, dropped = _clean_env(overrides)
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env,
@@ -99,13 +157,24 @@ def run_row(name, overrides, timeout_s):
     result, error = None, None
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            result = json.loads(line)
-            break
+            cand = json.loads(line)
         except json.JSONDecodeError:
             continue
+        # bench.py's result line is a dict with a numeric "value"; anything
+        # else (a stray printed number, a partial dict) must not be accepted
+        # or the table formatting below would crash the whole suite.
+        if isinstance(cand, dict) and isinstance(cand.get("value"), (int, float)):
+            result = cand
+            break
     if proc.returncode != 0 or result is None:
         error = (proc.stderr or proc.stdout).strip()[-2000:]
-    return {"name": name, "env": overrides, "result": result, "error": error}
+    return {
+        "name": name,
+        "env": overrides,
+        "dropped_inherited_env": dropped or None,
+        "result": result,
+        "error": error,
+    }
 
 
 def main(argv=None):
@@ -129,8 +198,35 @@ def main(argv=None):
             print(f"{name:32s} {'[quick] ' if quick else ''}{overrides}")
         return 0
 
+    stray = sorted(k for k in os.environ if k.startswith(_KNOB_PREFIXES))
+    if stray:
+        print(
+            f"note: ignoring inherited knobs {', '.join(stray)} — each row "
+            "runs with exactly its declared overrides",
+            file=sys.stderr,
+        )
+
     started = datetime.datetime.now(datetime.timezone.utc)
+    ts = started.strftime("%Y%m%d_%H%M%S")
+    path = pathlib.Path(
+        args.out or REPO / "measurements" / f"bench_suite_{ts}.json"
+    )
+    path.parent.mkdir(parents=True, exist_ok=True)
+
     out = []
+
+    def write_payload():
+        # incremental: a crash or ctrl-C mid-suite keeps every finished row
+        payload = {
+            "started_utc": started.isoformat(),
+            "finished_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+            "single_session": True,
+            "rows": out,
+        }
+        path.write_text(json.dumps(payload, indent=1))
+
     for i, (name, overrides, _) in enumerate(rows):
         print(f"[{i + 1}/{len(rows)}] {name} ...", flush=True)
         try:
@@ -139,6 +235,7 @@ def main(argv=None):
             row = {"name": name, "env": overrides, "result": None,
                    "error": f"timeout after {args.timeout}s"}
         out.append(row)
+        write_payload()
         r = row["result"]
         if r:
             print(
@@ -149,19 +246,6 @@ def main(argv=None):
         else:
             print(f"    FAILED: {row['error'][:200]}", flush=True)
 
-    finished = datetime.datetime.now(datetime.timezone.utc)
-    ts = started.strftime("%Y%m%d_%H%M%S")
-    path = pathlib.Path(
-        args.out or REPO / "measurements" / f"bench_suite_{ts}.json"
-    )
-    path.parent.mkdir(parents=True, exist_ok=True)
-    payload = {
-        "started_utc": started.isoformat(),
-        "finished_utc": finished.isoformat(),
-        "single_session": True,
-        "rows": out,
-    }
-    path.write_text(json.dumps(payload, indent=1))
     print(f"\nwrote {path}\n")
 
     print("| row | ms/frame | slopes [best-of] | Gray-steps/s |")

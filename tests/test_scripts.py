@@ -36,6 +36,8 @@ def test_bench_suite_listing_and_compare(tmp_path, capsys):
         "BHR_BENCH_FAST", "BHR_BENCH_TEXTURE", "BHR_BENCH_TEXSUB",
         "BHR_BENCH_MULTIRES", "BHR_BENCH_MODEL", "BHR_BENCH_DISK",
         "BHR_BENCH_INTEGRATOR", "BHR_BENCH_ADAPTIVE", "BHR_BENCH_SPIN",
+        "BHR_BENCH_PLATFORM", "BHR_BENCH_ORACLE",
+        "BHR_BENCH_NEURAL_WEIGHTS", "BHR_BENCH_NEURAL_DTYPE",
     }
     names = set()
     for name, overrides, _quick in bench_suite.SUITE:
@@ -64,6 +66,32 @@ def test_bench_suite_listing_and_compare(tmp_path, capsys):
     json.dump(suite_json({"a": 13.0}), open(new_p, "w"))
     assert bench_compare.main([old_p, new_p]) == 1  # +30% regression
     assert "REGRESSED" in capsys.readouterr().out
+
+    # a zero/garbage old value must not abort the comparison (advisor r3)
+    json.dump(suite_json({"a": 0.0, "b": 20.0}), open(old_p, "w"))
+    json.dump(suite_json({"a": 13.0, "b": 20.0}), open(new_p, "w"))
+    assert bench_compare.main([old_p, new_p]) == 0
+    assert "incomparable" in capsys.readouterr().out
+
+
+def test_bench_suite_env_hygiene(monkeypatch):
+    """Inherited BHR_* shell knobs must not leak into row subprocess envs
+    (advisor r3: a stray BHR_BENCH_FAST=0 silently changed every row)."""
+    import bench_suite
+
+    monkeypatch.setenv("BHR_BENCH_FAST", "0")
+    monkeypatch.setenv("BHR_COMPILE_CACHE", "1")
+    monkeypatch.setenv("BHR_TEX_SCRAMBLE", "0")
+    monkeypatch.setenv("PATH_UNRELATED", "keepme")
+    env, dropped = bench_suite._clean_env({"BHR_BENCH_W": "64"})
+    assert "BHR_BENCH_FAST" not in env
+    assert "BHR_COMPILE_CACHE" not in env
+    assert "BHR_TEX_SCRAMBLE" not in env
+    assert env["BHR_BENCH_W"] == "64"
+    assert env["PATH_UNRELATED"] == "keepme"
+    assert set(dropped) == {
+        "BHR_BENCH_FAST", "BHR_COMPILE_CACHE", "BHR_TEX_SCRAMBLE"
+    }
 
 
 def test_ssim_identity_and_sensitivity():
