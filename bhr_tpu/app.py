@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["schwarzschild", "kerr", "kerr_lt", "flat"],
                    help="spacetime model: kerr = exact Kerr-Schild geodesics, "
                         "kerr_lt = cheap Lense-Thirring approximation")
+    p.add_argument("--plugin", metavar="PATH",
+                   help="runtime physics plugin: a .py file defining "
+                        "acceleration(rel, vel, r, r2, rs, spin) -> (ax, ay, "
+                        "az) on component-plane tuples (+ optional "
+                        "CAPTURE_FACTOR). The true analog of the reference's "
+                        "--shader hot-swap (lib.rs:425-429): the function is "
+                        "traced into the device kernel at run time. "
+                        "Overrides --model.")
     p.add_argument("--spin", type=float, default=0.9, help="Kerr spin a/M (used with --model kerr)")
     p.add_argument("--adaptive", action="store_true", help="adaptive step size")
     p.add_argument("--disk", action="store_true", help="render the accretion disk")
@@ -309,9 +317,16 @@ def main(argv=None) -> int:
 
     # adopt the on-device autotuner's cached kernel config when one exists
     # for this shape (bench.py / utils/autotune.py write it)
+    plugin = None
+    if args.plugin:
+        from .utils.plugin import load_plugin
+
+        load_plugin(args.plugin)  # fail fast on a bad plugin file
+        plugin = args.plugin
+        args.model = "custom"
     tile = None
     knobs = None
-    if not args.oracle:
+    if not args.oracle and not plugin:
         from .ops.trace import TraceConfig
         from .utils.autotune import load_tuned
 
@@ -337,7 +352,8 @@ def main(argv=None) -> int:
         args.width,
         args.height,
         args.integrator,
-        model=args.model,
+        model=None if plugin else args.model,
+        custom_physics=plugin,
         adaptive=args.adaptive,
         disk=args.disk,
         fast_math=args.fast_math,
@@ -367,7 +383,8 @@ def main(argv=None) -> int:
 
     scene = SceneParams(
         schwarzschild_radius=2.0,
-        spin=args.spin if args.model.startswith("kerr") else 0.0,
+        # plugins get --spin too (their accel signature receives it)
+        spin=args.spin if args.model.startswith(("kerr", "custom")) else 0.0,
         screen_width=args.width,
         screen_height=args.height,
         max_steps=args.max_steps,

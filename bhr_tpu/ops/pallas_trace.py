@@ -103,8 +103,11 @@ def monolithic_eligible(config, scene, *, use_pallas, fast_math, skybox,
         # exact tier fuses too (round 2): in-kernel shading reuses the
         # identical starfield ops and a true round-half-even quantizer, so
         # frames bit-match the staged epilogue. kerr_lt exact has no
-        # stateless kernel (scratch only) and stays staged.
+        # stateless kernel (scratch only) and stays staged; plugin physics
+        # (model="custom") always runs the scratch kernel (no verified
+        # freeze-guard algebra for arbitrary user accelerations).
         and (fast_math or config.model != "kerr_lt")
+        and config.model != "custom"
         and scene.debug_mode == 0
         and tonemap == "passthrough"
     )
@@ -233,6 +236,21 @@ def _vcross(a, b):
     )
 
 
+def _use_stateless(config, track_steps: bool, fast_math: bool) -> bool:
+    """Single predicate for the stateless (dt-freeze) kernel flavors.
+
+    kerr_lt's exact tier and plugin physics (model="custom") stay on the
+    scratch-status kernel: the dt-freeze scheme needs per-model freeze-guard
+    algebra that keeps frozen rays' arithmetic finite, which is only
+    verified for the built-in models.
+    """
+    return (
+        not track_steps
+        and (fast_math or config.model != "kerr_lt")
+        and config.model != "custom"
+    )
+
+
 def build_kernel(
     config: TraceConfig,
     max_steps: int,
@@ -335,8 +353,12 @@ def build_kernel(
 
         Mirrors models/schwarzschild.py `acceleration` (reference wgsl:69-79)
         and models/kerr.py frame dragging; arithmetic order kept identical to
-        the oracle for parity.
+        the oracle for parity. model="custom" dispatches to the user plugin
+        (TraceConfig.custom_accel) — same plane signature, traced straight
+        into the kernel (the --shader hot-swap analog, ref lib.rs:425-429).
         """
+        if config.model == "custom":
+            return config.custom_accel(rel, vel, r, r2, rs, spin)
         if fast_math:
             inv_r = _recip(r)
             r_vec = _vscale(rel, inv_r)
@@ -442,7 +464,7 @@ def build_kernel(
     # per-step VMEM status traffic + select-freezing cost ~2x (31 ms vs
     # 15.3 ms at 1080p x 500). kerr_lt has no exact stateless form (its
     # fast path folds the LT drag differently) and keeps the scratch kernel.
-    use_stateless = not track_steps and (fast_math or config.model != "kerr_lt")
+    use_stateless = _use_stateless(config, track_steps, fast_math)
 
     def sl_deriv(p, v, rs, spin, clamp_one_m):
         """Folded-acceleration derivative for the stateless rk4 path."""
@@ -1652,6 +1674,8 @@ def build_params(camera, scene, config: TraceConfig, row0=0, col0=0,
     spin = jnp.asarray(scene.spin, jnp.float32)
     if config.model == "schwarzschild":
         capture_r = rs * CAPTURE_FACTOR  # wgsl:62 literal
+    elif config.model == "custom":
+        capture_r = rs * jnp.float32(config.custom_capture_factor)
     else:
         capture_r = jnp.asarray(model_capture_radius(config.model, rs, spin), jnp.float32)
     w = scene.screen_width
@@ -1731,7 +1755,7 @@ def _pallas_trace(
     strided: bool = False,
 ):
     th, tw = tile
-    stateless = not track_steps and (fast_math or config.model != "kerr_lt")
+    stateless = _use_stateless(config, track_steps, fast_math)
     linear = linear and stateless and mask is None and not strided
     if height * width >= (1 << 24):
         linear = False  # the fp32 pixel-id decode is only exact below 2^24

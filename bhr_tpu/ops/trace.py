@@ -43,16 +43,67 @@ class TraceConfig:
 
     `integrator`/`model` select kernel functions — the TPU-native analog of
     the reference's hot-swappable `--shader` flag (reference: src/main.rs:30).
+
+    `model="custom"` is the full runtime hot-swap analog (reference:
+    src/lib.rs:425-429 loads arbitrary user WGSL from `--shader <path>`):
+    `custom_accel` is a user-supplied acceleration in struct-of-arrays
+    plane form,
+
+        accel(rel, vel, r, r2, rs, spin) -> (ax, ay, az)
+
+    where `rel`/`vel` are 3-tuples of same-shaped fp32 arrays and
+    `r`/`r2`/`rs`/`spin` broadcast over them. ONE signature serves both
+    execution paths: the XLA oracle wraps its (..., 3) state into plane
+    tuples, and the Pallas kernel calls it directly on its (TH, TW)
+    register planes — the plugin is traced into the device kernel, not
+    interpreted host-side. Termination keeps the reference semantics with
+    `capture_r = custom_capture_factor * rs` (wgsl:62's 1.05 by default).
+    Custom physics runs on the scratch-status kernel (both math tiers);
+    the stateless/monolithic/multires turbo flavors stay reserved for the
+    built-in models whose freeze-guard algebra is verified.
     """
 
     integrator: str = "euler"  # "euler" | "rk4" | "leapfrog"
-    model: str = "schwarzschild"  # "schwarzschild" | "kerr" | "flat"
+    model: str = "schwarzschild"  # "schwarzschild" | "kerr" | "flat" | "custom"
     adaptive: bool = False  # adaptive step size (docs/ROADMAP.md:195-201)
     dt: float = DEFAULT_DT
     escape_radius: float = ESCAPE_RADIUS
     disk: bool = False  # equatorial thin accretion disk
     disk_r_isco_factor: float = 3.0  # in units of r_s
     disk_r_outer_factor: float = 10.0
+    # model="custom" plugin physics (hashed by identity -> jit cache key)
+    custom_accel: object = None
+    custom_capture_factor: float = float(CAPTURE_FACTOR)
+
+    def __post_init__(self):
+        if self.model == "custom" and self.custom_accel is None:
+            raise ValueError(
+                "model='custom' needs custom_accel(rel, vel, r, r2, rs, spin)"
+                " -> (ax, ay, az) on component-plane tuples"
+            )
+
+
+def custom_accel_arrays(config: TraceConfig):
+    """Adapt a plane-tuple plugin acceleration to (..., 3) array state.
+
+    Bridges `TraceConfig.custom_accel` (SoA planes, the Pallas-native form)
+    into the oracle's array-of-structs convention so one plugin definition
+    drives both paths.
+    """
+    plug = config.custom_accel
+
+    def accel_fn(rel, vel, r, rs, spin):
+        ax, ay, az = plug(
+            (rel[..., 0], rel[..., 1], rel[..., 2]),
+            (vel[..., 0], vel[..., 1], vel[..., 2]),
+            r, r * r, rs, spin,
+        )
+        return jnp.stack(
+            [jnp.broadcast_to(a, rel[..., 0].shape) for a in (ax, ay, az)],
+            axis=-1,
+        )
+
+    return accel_fn
 
 
 @jax.tree_util.register_dataclass
@@ -88,9 +139,15 @@ def trace_rays(
         return _trace_rays_kerr_schild(
             origins, directions, bh_pos, rs, spin, max_steps, config
         )
-    accel_fn = model_acceleration(config.model)
+    if config.model == "custom":
+        # runtime-swappable physics (the --shader hot-swap analog; see
+        # TraceConfig docstring): one plane-form plugin serves oracle+kernel
+        accel_fn = custom_accel_arrays(config)
+        r_capture = rs * jnp.float32(config.custom_capture_factor)
+    else:
+        accel_fn = model_acceleration(config.model)
+        r_capture = model_capture_radius(config.model, rs, spin)
     step_fn = STEP_FNS[config.integrator]
-    r_capture = model_capture_radius(config.model, rs, spin)
     if config.model == "schwarzschild":
         # keep the literal wgsl:62 expression for bit-parity
         r_capture = rs * CAPTURE_FACTOR

@@ -378,17 +378,44 @@ class BlackHoleRenderer:
         cache_deflection: bool = False,
         neural_params=None,
         neural_dtype: str = "float32",
+        custom_physics=None,
     ):
         self.context = context or TpuContext.new()
         self.width = int(width)
         self.height = int(height)
         integ, path_model = _integrator_from_path(integrator)
+        # runtime-swappable physics (the reference's --shader hot-swap,
+        # lib.rs:425-429): a .py path / module / callable providing
+        # acceleration(rel, vel, r, r2, rs, spin) on component planes
+        extra_cfg = {}
+        if custom_physics is not None:
+            from .utils.plugin import load_plugin
+
+            if model not in (None, "custom"):
+                raise ValueError(
+                    f"custom_physics conflicts with model={model!r}; leave "
+                    "model unset (it becomes 'custom')"
+                )
+            accel_fn, cap = load_plugin(custom_physics)
+            extra_cfg = {
+                "custom_accel": accel_fn,
+                "custom_capture_factor": cap,
+            }
+            model = "custom"
+            if multires:
+                raise ValueError(
+                    "custom physics runs on the scratch-status kernel, which "
+                    "has no strided/multires flavor — use full resolution"
+                )
+        elif model == "custom":
+            raise ValueError("model='custom' needs custom_physics=")
         self.config = TraceConfig(
             integrator=integ,
             model=model or path_model,
             adaptive=adaptive,
             disk=disk,
             **({"dt": dt} if dt is not None else {}),
+            **extra_cfg,
         )
         # roadmap Phase 5 neural surrogate: Schwarzschild deflection only —
         # no disk/adaptive/debug, and the model must be schwarzschild
