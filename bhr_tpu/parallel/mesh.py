@@ -74,6 +74,7 @@ def _render_band(
     seed=2020,
     texture_filter="bilinear",
     neural_params=None,
+    multires=0,
 ):
     """Render rows [row0, row0+band_h) of the full image -> packed u32 band.
 
@@ -81,6 +82,18 @@ def _render_band(
     """
     from ..ops.display import TONEMAPS
 
+    if multires:
+        # roadmap Phase 4-1 over the mesh: each device renders its band's
+        # low-res geodesics (+ halo) and edge fix-up — pixel-identical to
+        # the single-device render_multires (ops/multires.py docstring)
+        from ..ops.multires import render_multires_band
+
+        return render_multires_band(
+            camera, scene, skybox, disk_params,
+            row0=row0, band_h=band_h, config=config, divisor=multires,
+            texture_filter=texture_filter, seed=seed,
+            interpret=interpret, fast_math=fast_math, tile=None,
+        )
     if config.integrator == "neural":
         # Phase-5 surrogate band: the MLP deflection field is trivially
         # row-shardable (pure per-pixel matmul batch). Star-field bands on
@@ -187,7 +200,7 @@ def _render_band(
 @functools.lru_cache(maxsize=128)
 def _frame_program(
     mesh, band_h, config, use_pallas, tile, fast_math, tonemap, interpret,
-    seed, texture_filter,
+    seed, texture_filter, multires=0,
 ):
     """Build (once per static configuration) the jitted sharded-frame
     program. Callers hit this cache instead of re-closing and re-jitting a
@@ -202,7 +215,7 @@ def _frame_program(
             config=config, use_pallas=use_pallas, tile=tile,
             fast_math=fast_math, tonemap=tonemap, interpret=interpret,
             seed=seed, texture_filter=texture_filter,
-            neural_params=neural_params,
+            neural_params=neural_params, multires=multires,
         )
 
     fn = jax.shard_map(
@@ -232,6 +245,7 @@ def render_frame_sharded(
     seed: int = 2020,
     texture_filter: str = "bilinear",
     neural_params=None,
+    multires: int = 0,
 ):
     """One frame with pixel rows sharded over the mesh's 'sp' axis.
 
@@ -247,10 +261,13 @@ def render_frame_sharded(
     n_sp = mesh.shape["sp"]
     height = scene.screen_height
     band_h = -(-height // n_sp)  # ceil: pad the last band past the image
+    if multires and (config.integrator == "neural" or tonemap != "passthrough"):
+        raise ValueError("sharded multires supports geodesic integrators "
+                         "with passthrough tonemap only")
     program = _frame_program(
         mesh, band_h, config, use_pallas,
         tuple(tile) if tile is not None else None,
-        fast_math, tonemap, interpret, seed, texture_filter,
+        fast_math, tonemap, interpret, seed, texture_filter, int(multires),
     )
     packed = program(camera, scene, skybox, disk_params, lut, neural_params)
     return unpack_frame(packed[:height])
@@ -275,6 +292,7 @@ def render_animation_sharded(
     seed: int = 2020,
     texture_filter: str = "bilinear",
     neural_params=None,
+    multires: int = 0,
 ):
     """Animation with frames sharded over 'dp' and rows over 'sp'.
 
@@ -298,10 +316,14 @@ def render_animation_sharded(
     if len(times) % n_dp:
         raise ValueError(f"len(times)={len(times)} must divide over dp={n_dp}")
     band_h = -(-height // n_sp)  # ceil: pad the last band past the image
+    if multires and (config.integrator == "neural" or tonemap != "passthrough"):
+        raise ValueError("sharded multires supports geodesic integrators "
+                         "with passthrough tonemap only")
     program = _animation_program(
         mesh, band_h, tuple(float(x) for x in orbit), config, use_pallas,
         tuple(tile) if tile is not None else None,
         fast_math, tonemap, interpret, with_stats, seed, texture_filter,
+        int(multires),
     )
     frames, lums = program(times, scene, skybox, disk_params, lut, neural_params)
     frames = unpack_frame(frames[:, :height])
@@ -313,7 +335,7 @@ def render_animation_sharded(
 @functools.lru_cache(maxsize=128)
 def _animation_program(
     mesh, band_h, orbit, config, use_pallas, tile, fast_math, tonemap,
-    interpret, with_stats, seed, texture_filter,
+    interpret, with_stats, seed, texture_filter, multires=0,
 ):
     """Jitted sharded-animation program, cached per static configuration
     (see _frame_program)."""
@@ -330,7 +352,7 @@ def _animation_program(
                 config=config, use_pallas=use_pallas, tile=tile,
                 fast_math=fast_math, tonemap=tonemap, interpret=interpret,
                 seed=seed, texture_filter=texture_filter,
-                neural_params=neural_params,
+                neural_params=neural_params, multires=multires,
             )
             if with_stats:
                 g_chan = ((band >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
