@@ -3,7 +3,8 @@
 
 PY ?= python
 
-.PHONY: all setup native run bench bench-suite test lab fmt lint info clean
+.PHONY: all setup native run bench bench-suite tpu-check tpu-check-quick \
+        test lab fmt lint info clean
 
 all: native test
 
@@ -35,6 +36,17 @@ bench:
 # (compare two runs with scripts/bench_compare.py)
 bench-suite:
 	$(PY) scripts/bench_suite.py
+
+# on-device regression gate: smoke + bit-parity + golden --check + bench
+# asserts + profiler guard -> one verdict JSON line. MANDATORY before
+# committing kernel changes (CPU tests run Pallas in interpret mode and
+# cannot catch Mosaic compile bugs or numerics/perf regressions).
+# `make tpu-check-quick` skips the 4K golden config + exact-tier bench.
+tpu-check:
+	$(PY) scripts/tpu_check.py
+
+tpu-check-quick:
+	$(PY) scripts/tpu_check.py --quick
 
 # CPU test suite with 8 virtual devices
 test:

@@ -1,0 +1,142 @@
+"""One-command on-device regression gate: `make tpu-check`.
+
+Chains every TPU-truth check that CPU tests cannot provide (CLAUDE.md:
+interpret mode does not reproduce Mosaic compile bugs, and the numerics /
+performance contracts only exist on the real chip):
+
+  1. tpu_smoke.py        — compile + run every kernel flavor, sanity vs oracle
+  2. exact_bit_check.py  — _shared_div native-ops bit-parity (exact tier)
+  3. golden_diff.py      — at-scale oracle-vs-kernel parity with the
+                           localization gate (--check)
+  4. bench.py            — headline fast-tier slope <= 16 ms and the exact
+                           tier's SUSTAINED (second-repeat) slope <= 16 ms
+  5. device_time.py      — profiler ground truth within 2x of the slope
+
+Writes measurements/tpu_check_<ts>.json incrementally and prints ONE
+verdict JSON line; exits nonzero if any stage fails. This is the mandatory
+pre-commit step for kernel changes (CLAUDE.md "hard-won constraints").
+
+Usage:
+  python scripts/tpu_check.py            # full gate (~25-40 min: config-5
+                                         # 4K oracle dominates)
+  python scripts/tpu_check.py --quick    # skip golden configs 4/5 + the
+                                         # exact-tier bench (~8 min)
+"""
+
+import argparse
+import datetime
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def run(name, cmd, timeout_s, env_extra=None):
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("BHR_BENCH_", "BHR_COMPILE_CACHE"))}
+    env.update(env_extra or {})
+    try:
+        proc = subprocess.run(
+            cmd, env=env, cwd=REPO, capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        out, rc = proc.stdout, proc.returncode
+        err_tail = (proc.stderr or "").strip()[-1500:]
+    except subprocess.TimeoutExpired:
+        return {"stage": name, "ok": False, "error": f"timeout {timeout_s}s"}
+    lines = []
+    for line in out.strip().splitlines():
+        try:
+            lines.append(json.loads(line))
+        except json.JSONDecodeError:
+            continue
+    return {
+        "stage": name,
+        "ok": rc == 0,
+        "rc": rc,
+        "json_lines": lines,
+        "error": None if rc == 0 else err_tail,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="skip golden configs 4/5 and the exact-tier bench")
+    p.add_argument("--skip", default="",
+                   help="comma-separated stage names to skip")
+    args = p.parse_args(argv)
+    skip = set(filter(None, args.skip.split(",")))
+
+    py = sys.executable
+    golden = [py, "scripts/golden_diff.py", "--check",
+              "--configs", "1,2,3" if args.quick else "1,2,3,4,5",
+              "/tmp/tpu_check_golden"]
+    stages = [
+        ("smoke", [py, "scripts/tpu_smoke.py"], 1200, None),
+        ("bit_exact", [py, "scripts/exact_bit_check.py"], 1200, None),
+        ("golden", golden, 3600, None),
+        ("bench_fast", [py, "bench.py"], 1200, None),
+    ]
+    if not args.quick:
+        # the exact tier carries the bit-parity contract; its gate is the
+        # SUSTAINED chip state: 3 back-to-back repeats, judged on the
+        # non-first slopes (VERDICT r3 item 3)
+        stages.append(("bench_exact_sustained", [py, "bench.py"], 1800,
+                       {"BHR_BENCH_FAST": "0", "BHR_BENCH_REPEATS": "3"}))
+    stages.append(("device_time", [py, "scripts/device_time.py"], 1200, None))
+
+    ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d_%H%M%S")
+    out_path = REPO / "measurements" / f"tpu_check_{ts}.json"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    results = []
+
+    def save():
+        out_path.write_text(json.dumps({"stages": results}, indent=1))
+
+    ok_all = True
+    for name, cmd, timeout_s, env_extra in stages:
+        if name in skip:
+            results.append({"stage": name, "ok": None, "skipped": True})
+            save()
+            continue
+        print(f"[tpu-check] {name} ...", flush=True)
+        r = run(name, cmd, timeout_s, env_extra)
+        # stage-specific assertions beyond the subprocess rc
+        if name == "bench_fast" and r["ok"]:
+            v = r["json_lines"][-1]["value"] if r["json_lines"] else None
+            r["slope_ms"] = v
+            if v is None or v > 16.0:
+                r["ok"] = False
+                r["error"] = f"fast-tier slope {v} ms > 16 ms target"
+        if name == "bench_exact_sustained" and r["ok"]:
+            slopes = (r["json_lines"][-1].get("slopes_ms", [])
+                      if r["json_lines"] else [])
+            sustained = [s for s in slopes[1:] if s > 0]
+            r["slopes_ms"] = slopes
+            if not sustained or min(sustained) > 16.0:
+                r["ok"] = False
+                r["error"] = (f"exact-tier sustained slopes {slopes[1:]} all "
+                              "> 16 ms target")
+        results.append(r)
+        save()
+        status = {True: "ok", False: "FAIL", None: "skip"}[r["ok"]]
+        print(f"[tpu-check] {name}: {status}"
+              + (f" — {r['error'][:200]}" if r.get("error") else ""),
+              flush=True)
+        ok_all = ok_all and (r["ok"] is not False)
+
+    verdict = {
+        "tpu_check": "pass" if ok_all else "FAIL",
+        "stages": {r["stage"]: r["ok"] for r in results},
+        "measurements": str(out_path.relative_to(REPO)),
+    }
+    print(json.dumps(verdict), flush=True)
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,6 +26,42 @@ def test_boundary_distance_stats():
     assert md == 64 and f2 == 0.0
 
 
+def test_golden_diff_explained_criterion():
+    """Round-4 localization criterion: a large mismatch is explained by a
+    status FLIP (oracle != kernel at the pixel) or by <= 2 px proximity to
+    the UNION of the two programs' status boundaries."""
+    from golden_diff import (
+        _within2_mask,
+        boundary_distance_stats_mask,
+        status_boundary_mask,
+    )
+
+    st_k = np.zeros((16, 16), np.int32)
+    st_k[:, 8:] = 2
+    st_o = st_k.copy()
+    st_o[4:7, 2:5] = 2  # a blob that flipped status between the programs
+    union = status_boundary_mask(st_k) | status_boundary_mask(st_o)
+    large = np.zeros((16, 16), bool)
+    large[5, 3] = True  # blob interior: far from the KERNEL boundary...
+    mdk, _ = boundary_distance_stats_mask(status_boundary_mask(st_k), large)
+    assert mdk == 4
+    # ...but a flip pixel, hence explained
+    flips = st_o != st_k
+    explained = ~large | flips | _within2_mask(union)
+    assert explained.all()
+    # an interior large mismatch with NO flip and no nearby boundary in
+    # either program stays unexplained (a true numerics bug)
+    large2 = np.zeros((16, 16), bool)
+    large2[12, 13] = True
+    explained2 = ~large2 | flips | _within2_mask(union)
+    assert not explained2.all()
+    # _within2_mask is a 2-step Chebyshev dilation
+    b = np.zeros((9, 9), bool)
+    b[4, 4] = True
+    w = _within2_mask(b)
+    assert w[2, 2] and w[6, 6] and not w[1, 4] and not w[4, 7]
+
+
 def test_bench_suite_listing_and_compare(tmp_path, capsys):
     import bench_compare
     import bench_suite
