@@ -833,13 +833,20 @@ def build_kernel(
             nv = _vscale(nv, jax.lax.rsqrt(_vdot(nv, nv)))
             return new_rel, nv
 
-        def _freeze_guard(x, m, safe):
-            """x for live rays (m = 1) BIT-EXACTLY (x * 1.0 + 0.0 == x in
-            IEEE), `safe` for frozen rays — keeps frozen-ray denominators
-            finite without perturbing live arithmetic."""
-            return x * m + (1.0 - m) * safe
+        def _freeze_guard(x, live, safe):
+            """x for live rays BIT-EXACTLY, `safe` for frozen rays — keeps
+            frozen-ray denominators finite without perturbing live
+            arithmetic. A vector-vector select (1 VPU op; the safe-value
+            broadcast hoists as a loop constant) replacing the round-3
+            arithmetic x*m + (1-m)*safe (3 ops): identical values in both
+            lanes classes, and strictly safer (the arithmetic form turned a
+            non-finite frozen x into NaN via x*0). Scalar-operand selects
+            are the Mosaic relayout bug family (CLAUDE.md constraint 2) —
+            the zeros_like+safe keeps all three operands vector-shaped,
+            the same pattern the in-loop disk teleport select uses."""
+            return jnp.where(live, x, jnp.zeros_like(x) + safe)
 
-        def physics_substep_exact(rel, vel, r, dt_eff, m):
+        def physics_substep_exact(rel, vel, r, dt_eff, live):
             """Oracle-order IEEE Euler sub-step (mirrors accel()'s exact
             branch + wgsl:80-85 update order + per-step renormalization).
 
@@ -860,7 +867,7 @@ def build_kernel(
                 rs_over_r = div_r(rs)
                 one_m = 1.0 - rs_over_r
                 # frozen captured rays can sit at one_m <= 0 (r <= rs)
-                one_m = _freeze_guard(one_m, m, 0.5)
+                one_m = _freeze_guard(one_m, live, 0.5)
                 factor = rs / (2.0 * r * r * one_m)  # wgsl:74 literal order
                 v_rad = _vdot(vel, r_vec)
                 one_p = 1.0 + rs_over_r
@@ -875,11 +882,11 @@ def build_kernel(
                 nv = _vaxpy(vel, ax, dt_eff)
             new_rel = _vaxpy(rel, nv, dt_eff)
             s = jnp.sqrt(_vdot(nv, nv))
-            s = _freeze_guard(s, m, 1.0)  # frozen: divide by exactly 1.0
+            s = _freeze_guard(s, live, 1.0)  # frozen: divide by exactly 1.0
             div_s = _shared_div(s)
             return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
 
-        def sl_rk4_exact(rel, vel, dt_eff, m):
+        def sl_rk4_exact(rel, vel, dt_eff, live):
             """IEEE RK4 mirroring ops/geodesic.rk4_step (substep radii
             guarded away from r = rs exactly like the oracle)."""
             if config.model == "flat":
@@ -926,11 +933,11 @@ def build_kernel(
             new_rel = _vaxpy(rel, kp, sixth)
             nv = _vaxpy(vel, kv, sixth)
             s = jnp.sqrt(_vdot(nv, nv))
-            s = _freeze_guard(s, m, 1.0)
+            s = _freeze_guard(s, live, 1.0)
             div_s = _shared_div(s)
             return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
 
-        def sl_leapfrog_exact(rel, vel, r, dt_eff, m):
+        def sl_leapfrog_exact(rel, vel, r, dt_eff, live):
             """IEEE kick-drift-kick mirroring ops/geodesic.leapfrog_step
             (a1 at the loop's radius with the oracle's literal division
             order + freeze guards; a2 at the rk4-style guarded radius)."""
@@ -942,7 +949,7 @@ def build_kernel(
             r_vec = (div_r(rel[0]), div_r(rel[1]), div_r(rel[2]))
             rs_over_r = div_r(rs)
             one_m = 1.0 - rs_over_r
-            one_m = _freeze_guard(one_m, m, 0.5)
+            one_m = _freeze_guard(one_m, live, 0.5)
             factor = rs / (2.0 * r * r * one_m)
             v_rad = _vdot(vel, r_vec)
             one_p = 1.0 + rs_over_r
@@ -973,7 +980,7 @@ def build_kernel(
             vp = _vaxpy(vh, a_at(vh), half)  # corrector (see leapfrog_step)
             nv = _vaxpy(vh, a_at(vp), half)
             s = jnp.sqrt(_vdot(nv, nv))
-            s = _freeze_guard(s, m, 1.0)
+            s = _freeze_guard(s, live, 1.0)
             div_s = _shared_div(s)
             return new_rel, (div_s(nv[0]), div_s(nv[1]), div_s(nv[2]))
 
@@ -1042,16 +1049,16 @@ def build_kernel(
                 if fast_math:
                     rel, vel = sl_rk4(rel, vel, dt_eff, rs, spin)
                 else:
-                    rel, vel = sl_rk4_exact(rel, vel, dt_eff, m)
+                    rel, vel = sl_rk4_exact(rel, vel, dt_eff, stepping)
             elif config.integrator == "leapfrog":
                 if fast_math:
                     rel, vel = sl_leapfrog(rel, vel, dt_eff, rs, spin)
                 else:
-                    rel, vel = sl_leapfrog_exact(rel, vel, r_exact, dt_eff, m)
+                    rel, vel = sl_leapfrog_exact(rel, vel, r_exact, dt_eff, stepping)
             elif fast_math:
                 rel, vel = physics_substep(rel, vel, r2, jax.lax.rsqrt(r2), dt_eff)
             else:
-                rel, vel = physics_substep_exact(rel, vel, r_exact, dt_eff, m)
+                rel, vel = physics_substep_exact(rel, vel, r_exact, dt_eff, stepping)
             if config.disk:
                 # equatorial crossing in the annulus -> teleport to the
                 # sentinel: y = 2.5 * escape_r marks "disk hit", x/z keep

@@ -38,15 +38,25 @@ def ssim(a, b, c1=(0.01 * 255) ** 2, c2=(0.03 * 255) ** 2, win=8):
 
 
 def main():
-    divisor = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    import jax.numpy as jnp
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("divisor", nargs="?", type=int, default=3)
+    ap.add_argument("--disk", action="store_true",
+                    help="gauge BASELINE config 4 (rk4 + adaptive + disk) "
+                         "instead of the euler headline")
+    args = ap.parse_args()
+    divisor = args.divisor
 
     from bhr_tpu import BlackHoleRenderer, Camera, SceneParams
 
     w, h, steps = 1920, 1080, 500
     cam = Camera.default()
     scene = SceneParams(screen_width=w, screen_height=h, max_steps=steps)
-    r = BlackHoleRenderer(w, h, fast_math=True)
+    rkw = (
+        dict(integrator="rk4", adaptive=True, disk=True) if args.disk else {}
+    )
+    r = BlackHoleRenderer(w, h, fast_math=True, **rkw)
     full = np.asarray(r.render_frame(cam, scene)).astype(np.int32)
     multi = np.asarray(
         r.render_frame_multires(cam, scene, divisor=divisor)
@@ -58,6 +68,8 @@ def main():
         json.dumps(
             {
                 "divisor": divisor,
+                "config": "1080p_rk4_adaptive_disk" if args.disk
+                          else "1080p_euler_headline",
                 "mean_u8_error": round(float(diff.mean()), 4),
                 "frac_off_gt16": round(float((diff.max(-1) > 16).mean()), 6),
                 "ssim": round(ssim(luma_f, luma_m), 4),
