@@ -103,13 +103,21 @@ def _pack_params(camera: Camera, scene, row0=0) -> jnp.ndarray:
     return jnp.pad(flat, (0, _PARAMS_LEN - flat.shape[0]))
 
 
-def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
-    """Kernel closure for an MLP with n_layers (W, b) pairs."""
+def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
+                  emit: str = "frame"):
+    """Kernel closure for an MLP with n_layers (W, b) pairs.
+
+    emit="frame": star-shaded packed-u32 pixels (the headline path).
+    emit="dirs":  raw deflected direction planes + capture mask — the MXU
+    front half for TEXTURE configs, whose gather epilogue must run at the
+    XLA level anyway (DESIGN.md section 3.1): the kernel replaces the
+    staged path's materialized (N, 16) features and (N, width) activations
+    with four (H, W) output planes."""
     from .starfield import procedural_background
 
     def kernel(params, *refs):
         wb = refs[: 2 * n_layers]
-        frame_o = refs[2 * n_layers]
+        outs = refs[2 * n_layers:]
         g = pl.program_id(0)
 
         cam = (params[_P_CAM], params[_P_CAM + 1], params[_P_CAM + 2])
@@ -217,6 +225,13 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
         vinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
         vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
 
+        if emit == "dirs":
+            outs[0][:] = vx
+            outs[1][:] = vy
+            outs[2][:] = vz
+            outs[3][:] = (logit > 0.0).astype(jnp.float32)
+            return
+
         # analytic star shading + captured-black + pack (the monolithic
         # geodesic kernel's fast-tier epilogue, ops/pallas_trace.py)
         r_, g_, b_ = procedural_background(vx, vy, vz, seed=seed)
@@ -229,7 +244,7 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
                 .astype(jnp.uint32)
             )
 
-        frame_o[:] = (
+        outs[0][:] = (
             quant(r_)
             | (quant(g_) << 8)
             | (quant(b_) << 16)
@@ -241,16 +256,17 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "block_p", "seed", "interpret", "n_layers"),
+    static_argnames=("height", "width", "block_p", "seed", "interpret",
+                     "n_layers", "emit"),
 )
 def _render(packed_params, weight_ops, *, height, width, block_p, seed,
-            interpret, n_layers):
+            interpret, n_layers, emit="frame"):
     """`height` here is the number of OUTPUT rows (a band or the full
     frame); the full-image dims ride in packed_params for ray-gen."""
     n = height * width
     per_block = 8 * block_p
     grid = -(-n // per_block)
-    kernel = _build_kernel(n_layers, block_p, seed, jnp.bfloat16)
+    kernel = _build_kernel(n_layers, block_p, seed, jnp.bfloat16, emit=emit)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     for op in weight_ops:
         in_specs.append(
@@ -260,16 +276,27 @@ def _render(packed_params, weight_ops, *, height, width, block_p, seed,
                 memory_space=pltpu.VMEM,
             )
         )
+    block_spec = pl.BlockSpec(
+        (8, block_p), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    padded = jax.ShapeDtypeStruct((grid * 8, block_p), jnp.uint32)
+    padded_f = jax.ShapeDtypeStruct((grid * 8, block_p), jnp.float32)
+    if emit == "dirs":
+        out_specs = [block_spec] * 4
+        out_shape = [padded_f] * 4
+    else:
+        out_specs = block_spec
+        out_shape = padded
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (8, block_p), lambda g: (g, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((grid * 8, block_p), jnp.uint32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(packed_params, *weight_ops)
+    if emit == "dirs":
+        return tuple(o.reshape(-1)[:n].reshape(height, width) for o in out)
     return out.reshape(-1)[:n].reshape(height, width)
 
 
@@ -306,6 +333,54 @@ def neural_render_packed(
         seed=seed,
         interpret=interpret,
         n_layers=len(params),
+    )
+
+
+def neural_trace_dirs(
+    params,
+    camera: Camera,
+    scene,
+    *,
+    block_p: int | None = None,
+    interpret: bool = False,
+):
+    """Fused-kernel deflection field for TEXTURE configs -> TraceResult.
+
+    Same MXU kernel as neural_render_packed but emitting raw direction
+    planes + the capture mask instead of star-shaded pixels, so the
+    texture tiers' gather epilogue (shade_image) consumes kernel-speed
+    directions instead of the staged XLA path's materialized activations.
+    final_pos is the broadcast camera origin (rays originate at the
+    camera; the surrogate has no disk, so shading never reads a hit
+    point)."""
+    from .trace import STATUS_CAPTURED, STATUS_ESCAPED, TraceResult
+
+    if block_p is None:
+        widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
+        block_p = 4096 if widest <= 128 else 2048
+    weight_ops = prep_weights(params)
+    h, w = scene.screen_height, scene.screen_width
+    vx, vy, vz, cap = _render(
+        _pack_params(camera, scene),
+        weight_ops,
+        height=h,
+        width=w,
+        block_p=block_p,
+        seed=0,
+        interpret=interpret,
+        n_layers=len(params),
+        emit="dirs",
+    )
+    vel = jnp.stack([vx, vy, vz], axis=-1)
+    status = jnp.where(
+        cap > 0.0, jnp.int32(STATUS_CAPTURED), jnp.int32(STATUS_ESCAPED)
+    )
+    origins = jnp.broadcast_to(
+        jnp.asarray(camera.position, jnp.float32), (h, w, 3)
+    )
+    steps = jnp.full((h, w), scene.max_steps, jnp.int32)
+    return TraceResult(
+        final_pos=origins, final_vel=vel, status=status, steps=steps
     )
 
 

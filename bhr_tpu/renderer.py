@@ -194,6 +194,31 @@ def render_image(
                 neural_params, camera, scene, seed=seed
             )
             return frame if packed else unpack_frame(frame)
+        if (
+            use_pallas
+            and not interpret
+            and skybox is not None
+            and scene.debug_mode == 0
+            and neural_shapes_ok
+            and jnp.dtype(neural_dtype) == jnp.float32
+        ):
+            # texture tiers: the same fused MXU kernel emits raw direction
+            # planes + the capture mask (ops/neural_pallas.py emit="dirs"),
+            # and only the gather epilogue — which must run at the XLA
+            # level anyway — stays staged. Replaces the fully-staged path's
+            # materialized feature/activation matrices. (The staged path
+            # remains for bf16 matmuls, debug, and unprobed MLP shapes;
+            # matmul semantics match its fp32 default: bf16 operands with
+            # fp32 accumulation == XLA's DEFAULT fp32-on-TPU lowering.)
+            from .ops.neural_pallas import neural_trace_dirs
+
+            result = neural_trace_dirs(neural_params, camera, scene)
+            return shade_image(
+                result, camera, scene, skybox, disk_params, lut,
+                tonemap=tonemap, seed=seed, packed=packed,
+                texture_filter=texture_filter,
+                texture_subsample=texture_subsample,
+            )
         from .ops.neural_trace import neural_trace_image
 
         result = neural_trace_image(

@@ -62,20 +62,28 @@ def main():
     from bhr_tpu import BlackHoleRenderer, Camera, SceneParams
     from bhr_tpu.core.camera import generate_rays
     from bhr_tpu.ops.pallas_trace import pallas_trace_image
-    from bhr_tpu.ops.trace import STATUS_ESCAPED, TraceConfig
+    from bhr_tpu.ops.trace import STATUS_CAPTURED, STATUS_DISK, TraceConfig
 
     w, h, steps = 1920, 1080, 500
     n = w * h
     cam = Camera.new([15.0, 5.0, 0.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
     scene = SceneParams(screen_width=w, screen_height=h, max_steps=steps)
 
-    # 1) the escape fraction at the benchmark geometry (the compaction
-    #    capacity K must cover it for ANY frame of the orbit; the orbit is
-    #    radius-constant so one frame is representative)
+    # 1) the fraction of rays that sample the skybox at the benchmark
+    #    geometry. NOT just STATUS_ESCAPED: at this config nothing reaches
+    #    the r=100 escape sphere in 500 steps — rays that exhaust
+    #    max_steps sample the texture with their final direction exactly
+    #    like escaped ones (reference wgsl:169-170 falls through to the
+    #    background sample; only captured/disk pixels skip it). The
+    #    compaction capacity K must cover every sampling ray for ANY
+    #    frame of the orbit; the orbit is radius-constant so one frame is
+    #    representative.
     res = pallas_trace_image(cam, scene, TraceConfig(), fast_math=True)
     status = np.asarray(res.status)
-    esc_frac = float((status == STATUS_ESCAPED).mean())
-    print(json.dumps({"probe": "escape_fraction", "value": round(esc_frac, 4),
+    esc_frac = float(
+        ((status != STATUS_CAPTURED) & (status != STATUS_DISK)).mean()
+    )
+    print(json.dumps({"probe": "sampling_fraction", "value": round(esc_frac, 4),
                       "config": "1080p_default_orbit"}), flush=True)
 
     k = int(n * esc_frac)

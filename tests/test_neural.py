@@ -276,3 +276,48 @@ def test_band_kernel_matches_full_frame_slice():
         )
     )
     np.testing.assert_array_equal(band, full[16:48])
+
+
+def test_dirs_kernel_matches_staged_texture():
+    """The emit="dirs" kernel flavor + staged texture epilogue must
+    reproduce the fully-staged texture render at matching matmul
+    semantics (bf16 operands) — it is the TPU production path for
+    neural + texture configs."""
+    orbit = WEIGHTS.parent / "neural_schwarzschild_orbit.npz"
+    if not orbit.exists():
+        pytest.skip("distilled weights not trained yet")
+    from bhr_tpu.io.skybox import procedural_starfield
+    from bhr_tpu.ops.neural_pallas import neural_trace_dirs
+    from bhr_tpu.ops.sampling import pack_texture_rgba8, unpack_frame
+    from bhr_tpu.renderer import render_image, shade_image
+
+    params, _ = neural.load_params(str(orbit))
+    scene = SceneParams(screen_width=128, screen_height=96, max_steps=500)
+    cam = Camera.default()
+    skybox = pack_texture_rgba8(procedural_starfield(64, 128, seed=7))
+
+    result = neural_trace_dirs(params, cam, scene, interpret=True)
+    assert result.final_vel.shape == (96, 128, 3)
+    kernel_frame = np.asarray(
+        unpack_frame(
+            shade_image(
+                result, cam, scene, skybox, None, None,
+                tonemap="passthrough", packed=True,
+                texture_filter="nearest",
+            )
+        )
+    ).astype(np.int32)
+    staged = np.asarray(
+        render_image(
+            cam, scene, skybox, None, None,
+            config=TraceConfig(integrator="neural"), use_pallas=False,
+            tile=(8, 128), fast_math=True, tonemap="passthrough",
+            interpret=True, neural_params=params, neural_dtype="bfloat16",
+            texture_filter="nearest", packed=False,
+        )
+    ).astype(np.int32)
+    diff = np.abs(kernel_frame - staged).max(-1)
+    # residual = fp32 op-ordering differences under bf16 input rounding,
+    # amplified where a texel boundary flips under "nearest"
+    assert (diff > 2).mean() < 5e-3
+    assert (diff == 0).mean() > 0.97

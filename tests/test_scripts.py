@@ -137,3 +137,34 @@ def test_ssim_identity_and_sensitivity():
     a = rng.rand(64, 64) * 255.0
     assert ssim(a, a) > 0.9999
     assert ssim(a, np.roll(a, 3, axis=0)) < 0.9
+
+
+def test_opcount_kernel_roofline_models():
+    """The kernel-equivalent one_step models (scripts/opcount.py) must
+    trace, and the config-4/euler op ratio must sit in the physically
+    sensible band (RK4 = 4 derivative evaluations + glue + disk block over
+    a fused Euler step: somewhere between 3x and 6x)."""
+    import jax
+    import jax.numpy as jnp
+    from opcount import (
+        FAST_WEIGHTS,
+        _k_step_config4,
+        _k_step_euler_headline,
+        count_ops,
+    )
+
+    rel = jnp.ones((8, 128, 3), jnp.float32)
+    rs, dt = jnp.float32(2.0), jnp.float32(0.1)
+    w_e, _ = count_ops(
+        jax.make_jaxpr(_k_step_euler_headline)(rel, rel * 0.5, rs, dt),
+        weights=FAST_WEIGHTS,
+    )
+    w_c4, _ = count_ops(
+        jax.make_jaxpr(_k_step_config4)(rel, rel * 0.5, rs, dt),
+        weights=FAST_WEIGHTS,
+    )
+    assert 3.0 < w_c4 / w_e < 6.0
+    # the step functions must also be numerically sane (no NaNs on a
+    # benign state)
+    nrel, nvel = jax.jit(_k_step_config4)(rel * 5.0, rel * 0.5, rs, dt)
+    assert bool(jnp.isfinite(nrel).all()) and bool(jnp.isfinite(nvel).all())
