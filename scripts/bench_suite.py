@@ -123,6 +123,18 @@ SUITE = [
         },
         False,
     ),
+    (
+        # round 4: the fused kernel's emit="dirs" flavor serving a texture
+        # tier (neural MLP in-kernel, gather epilogue staged)
+        "neural_texture_luma2",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_TEXTURE": "luma",
+            "BHR_BENCH_TEXSUB": "2",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_schwarzschild_orbit.npz",
+        },
+        False,
+    ),
 ]
 
 # Inherited env keys that silently change what bench.py measures. They are

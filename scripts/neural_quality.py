@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--orbit", type=int, default=1,
                     help="aggregate over N orbit-camera frames")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--domain", type=int, default=0,
+                    help="gauge N scenes sampled across the training "
+                         "domain (r0 log-uniform in [3,60], rs uniform in "
+                         "[0.5,4], camera at radius r0 looking at the BH) "
+                         "instead of the default scene/orbit — the honest "
+                         "generality measurement for the general net")
     ap.add_argument("--save", default="", help="npz dump of frames+fields for offline analysis")
     ap.add_argument(
         "--weights",
@@ -82,12 +88,38 @@ def main():
     cfg = TraceConfig()
     on_tpu = jax.default_backend() != "cpu"
     ssims, ious, medians, p99s, mean_u8 = [], [], [], [], []
-    for k in range(args.orbit):
-        cam = (
-            orbit_camera(k / 3.0)
-            if args.orbit > 1
-            else __import__("bhr_tpu").Camera.default()
-        )
+    if args.domain:
+        # deterministic domain sample matching models/neural.sample_rays'
+        # (r0, rs) distribution; r0 >= 1.3 rs mirrors the training floor
+        rng = np.random.default_rng(7)
+        r0s = np.exp(rng.uniform(np.log(3.0), np.log(60.0), args.domain))
+        rss = rng.uniform(0.5, 4.0, args.domain)
+        rss = np.minimum(rss, r0s / 1.3)
+        scenes = []
+        for r0, rs in zip(r0s, rss):
+            cam_k = __import__("bhr_tpu").Camera.new(
+                [0.0, float(r0) * 0.316, float(r0) * 0.949],
+                [0.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+            )
+            scenes.append((
+                cam_k,
+                SceneParams(screen_width=w, screen_height=h,
+                            max_steps=steps,
+                            schwarzschild_radius=jnp.float32(rs)),
+                round(float(r0), 2), round(float(rs), 3),
+            ))
+    else:
+        scenes = None
+    n_frames = args.domain or args.orbit
+    for k in range(n_frames):
+        if scenes is not None:
+            cam, scene, r0_k, rs_k = scenes[k]
+        else:
+            cam = (
+                orbit_camera(k / 3.0)
+                if args.orbit > 1
+                else __import__("bhr_tpu").Camera.default()
+            )
         f_ref = np.asarray(ref.render_frame(cam, scene)).astype(np.int32)
         f_net = np.asarray(net.render_frame(cam, scene)).astype(np.int32)
         ssims.append(ssim(luma(f_ref), luma(f_net)))
@@ -129,6 +161,14 @@ def main():
         err = np.degrees(np.arccos(dot))
         medians.append(float(np.median(err)))
         p99s.append(float(np.percentile(err, 99)))
+        if scenes is not None:
+            print(json.dumps({
+                "scene": {"r0": r0_k, "rs": rs_k},
+                "ssim": round(ssims[-1], 5),
+                "capture_iou": round(ious[-1], 5),
+                "median_deg": round(medians[-1], 4),
+                "p99_deg": round(p99s[-1], 3),
+            }), flush=True)
         if args.save and k == 0:
             np.savez(
                 args.save,
@@ -146,8 +186,9 @@ def main():
             {
                 "config": f"{w}x{h}x{steps}"
                 + ("_texture" if args.texture else "")
+                + (f"_domain{args.domain}" if args.domain else "")
                 + (f"_{args.dtype}" if args.dtype != "float32" else ""),
-                "frames": args.orbit,
+                "frames": n_frames,
                 "ssim": round(float(np.mean(ssims)), 5),
                 "ssim_min": round(float(np.min(ssims)), 5),
                 "capture_iou": round(float(np.mean(ious)), 5),
