@@ -416,17 +416,22 @@ def train(
     opt_state = opt.init(params)
     n = dataset["r0"].shape[0]
 
-    def step(carry, k):
-        params, opt_state = carry
-        idx = jax.random.randint(k, (batch_size,), 0, n)
-        batch = {key_: v[idx] for key_, v in dataset.items()}
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
+    # the dataset rides as a jit ARGUMENT (device buffers), never as a
+    # closure constant: captured constants are serialized into the HLO
+    # upload, and a 12M-ray dataset (~340 MB of literals) exceeds the
+    # remote-compile helper's request limit (HTTP 413) — and would bloat
+    # any compile cache even on a directly-attached host
     @jax.jit
-    def run_window(params, opt_state, keys):
+    def run_window(params, opt_state, keys, data):
+        def step(carry, k):
+            params, opt_state = carry
+            idx = jax.random.randint(k, (batch_size,), 0, n)
+            batch = {key_: v[idx] for key_, v in data.items()}
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), keys
         )
@@ -438,7 +443,9 @@ def train(
         m = min(log_every, steps - done)
         k_data, sub = jax.random.split(k_data)
         keys = jax.random.split(sub, m)
-        params, opt_state, mean_loss = run_window(params, opt_state, keys)
+        params, opt_state, mean_loss = run_window(
+            params, opt_state, keys, dataset
+        )
         history.append(float(mean_loss))
         done += m
     return TrainResult(
