@@ -271,12 +271,19 @@ def sample_rays(
     )
     psi_uniform = jax.random.uniform(k_psi, (n,), jnp.float32, 0.0, jnp.pi)
     # critical angle of the GR impact parameter seen from r0 (the Euler
-    # dynamics' true boundary is nearby; a 0.25-rad spread covers it)
+    # dynamics' true boundary is nearby). The spread must SCALE with the
+    # critical angle: the deflection fold's angular width is O(sin_crit)
+    # = O(rs/r0), so a fixed 0.25-rad spread wastes nearly all boundary
+    # samples on far-from-critical angles for small-rs/large-r0 scenes —
+    # measured as the distill plateau at p99 ~0.12 deg on the
+    # (r0=35, rs=0.65) domain corner (measurements/round4/distill_demo*)
+    # where sin_crit ~ 0.05 << 0.25.
     sin_crit = jnp.clip(_BC_FACTOR * rs / r0, 0.0, 1.0)
     psi_crit = jnp.pi - jnp.arcsin(sin_crit)
+    spread = jnp.clip(3.0 * sin_crit, 0.02, 0.25)
     psi_boundary = jnp.clip(
         psi_crit
-        + jax.random.normal(k_off, (n,), jnp.float32) * 0.25,
+        + jax.random.normal(k_off, (n,), jnp.float32) * spread,
         0.0,
         jnp.pi,
     )
@@ -477,3 +484,59 @@ def evaluate(params, dataset):
         "p99_deg": float(jnp.nanpercentile(ang_live, 99.0)),
         "capture_acc": float(acc),
     }
+
+
+def distill_for_scene(
+    key,
+    r0: float,
+    rs: float,
+    *,
+    base_params=None,
+    rays: int = 1_000_000,
+    steps: int = 8_000,
+    max_steps: int = 500,
+    dt: float = 0.1,
+    r_margin: float = 1.3,
+    batch_size: int = 16384,
+    lr: float = 1e-4,
+    eval_rays: int = 131_072,
+):
+    """Per-scene distillation as a first-class on-device operation.
+
+    The GravLensX regime the roadmap cites (reference docs/
+    ROADMAP.md:1217-1337) trains per-scene networks; here that is a
+    ~2-minute TPU operation rather than an offline pipeline: narrow the
+    sampling domain to the scene's manifold (r0 within a x`r_margin`
+    band of the camera radius, rs fixed), warm-start from the general
+    net, and fine-tune briefly. Width is preserved by the warm start, so
+    the distilled weights stay eligible for the fused MXU kernel and
+    swap into an already-compiled renderer with zero recompilation.
+
+    Returns (params, metrics, domain) where metrics are held-out
+    median/p99 deflection error (deg) + capture accuracy on the
+    distilled domain and domain = (r_range, rs_range) for the
+    extrapolation guard.
+    """
+    rs = float(rs)
+    r_lo = max(float(r0) / r_margin, 1.3 * rs)
+    r_hi = max(float(r0) * r_margin, r_lo * 1.001)
+    r_range = (r_lo, r_hi)
+    rs_range = (rs, rs)
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    k_data, k_eval, k_fit = jax.random.split(key, 3)
+    dataset = make_dataset(
+        k_data, rays, max_steps=max_steps, dt=dt,
+        r_range=r_range, rs_range=rs_range,
+    )
+    eval_set = make_dataset(
+        k_eval, eval_rays, max_steps=max_steps, dt=dt,
+        r_range=r_range, rs_range=rs_range,
+    )
+    result = train(
+        k_fit, dataset, steps=steps, batch_size=batch_size, lr=lr,
+        warm_start=base_params,
+    )
+    metrics = evaluate(result.params, eval_set)
+    metrics["final_loss"] = result.final_loss
+    return result.params, metrics, (r_range, rs_range)

@@ -807,6 +807,61 @@ class BlackHoleRenderer:
         self._last_frame = frame
         return frame
 
+    def distill(self, camera=None, scene=None, *, rays=1_000_000,
+                steps=8_000, seed=0, save=None, **kw):
+        """Distill the neural surrogate for THIS scene, on-device, in-place.
+
+        The generality story of the Phase-5 surrogate (reference
+        docs/ROADMAP.md:1217-1337): the general net covers the full
+        (r0, rs) domain at star-field SSIM ~0.95; per-scene distilled
+        weights clear the roadmap's >0.99 bar. This makes distillation a
+        first-class renderer operation instead of an offline pipeline:
+        generate oracle rollouts on the scene's (r0, rs) manifold,
+        fine-tune the current weights (width preserved, so the fused MXU
+        kernel keeps serving them and the already-compiled frame
+        functions are reused as-is), and swap them in.
+
+        Returns the held-out metrics dict (median/p99 deflection error in
+        degrees, capture accuracy, final loss). `save` optionally writes
+        the distilled weights as an .npz reloadable via neural_params=.
+        Extra kw (lr, r_margin, max_steps, dt, ...) forward to
+        models.neural.distill_for_scene.
+        """
+        if self.config.integrator != "neural":
+            raise ValueError(
+                "distill() requires integrator='neural' (it retrains the "
+                "surrogate; construct the renderer with integrator='neural')"
+            )
+        from .models.neural import distill_for_scene, save_params
+
+        camera = camera if camera is not None else self.camera
+        scene = scene if scene is not None else self.scene
+        r0 = float(
+            np.linalg.norm(
+                np.asarray(camera.position, np.float32)
+                - np.asarray(scene.black_hole_position, np.float32)
+            )
+        )
+        rs = float(np.asarray(scene.schwarzschild_radius, np.float32))
+        kw.setdefault("max_steps", int(scene.max_steps))
+        kw.setdefault("dt", float(self.config.dt))
+        params, metrics, domain = distill_for_scene(
+            seed, r0, rs, base_params=self.neural_params,
+            rays=rays, steps=steps, **kw,
+        )
+        self.neural_params = jax.device_put(params, self.context.device)
+        self._neural_domain = domain
+        if save:
+            save_params(
+                str(save), params,
+                meta=dict(
+                    r_range=domain[0], rs_range=domain[1],
+                    max_steps=kw["max_steps"], train_rays=rays,
+                    train_steps=steps, **metrics,
+                ),
+            )
+        return metrics
+
     # -- readback & I/O (lib.rs:613-702) ------------------------------------
 
     @property

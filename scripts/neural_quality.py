@@ -159,6 +159,11 @@ def main():
             1.0,
         )
         err = np.degrees(np.arccos(dot))
+        if err.size == 0:
+            # an all-captured frame (camera at the r0 >= 1.3 rs domain
+            # floor renders pure shadow): no live rays to compare —
+            # deflection error is vacuously zero
+            err = np.zeros(1, np.float32)
         medians.append(float(np.median(err)))
         p99s.append(float(np.percentile(err, 99)))
         if scenes is not None:

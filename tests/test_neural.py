@@ -321,3 +321,37 @@ def test_dirs_kernel_matches_staged_texture():
     # amplified where a texel boundary flips under "nearest"
     assert (diff > 2).mean() < 5e-3
     assert (diff == 0).mean() > 0.97
+
+
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="production weights not trained yet")
+def test_renderer_distill_on_demand(tmp_path):
+    """distill() fine-tunes the surrogate for the renderer's scene
+    in-place: width (and thus kernel eligibility + compiled programs) is
+    preserved, the extrapolation-guard domain narrows to the scene's
+    manifold, metrics come back, and `save` round-trips through
+    neural_params=."""
+    r = BlackHoleRenderer(64, 48, integrator="neural")
+    w_before = [w.shape for w, _ in r.neural_params]
+    scene = r.scene.replace(max_steps=80)
+    out = tmp_path / "distilled.npz"
+    metrics = r.distill(
+        scene=scene, rays=20_000, steps=300, save=out,
+        eval_rays=4_096, lr=5e-4,
+    )
+    assert set(metrics) >= {"median_deg", "p99_deg", "capture_acc"}
+    assert metrics["capture_acc"] > 0.9
+    assert [w.shape for w, _ in r.neural_params] == w_before
+    r_lo, r_hi = r._neural_domain[0]
+    r0 = float(np.linalg.norm(np.asarray(r.camera.position)))
+    assert r_lo <= r0 <= r_hi and r_hi < 60.0  # narrowed, covers the scene
+    frame = r.render_frame(scene=scene)
+    assert frame.shape[:2] == (48, 64)
+    # the saved npz reloads as a normal weights asset
+    r2 = BlackHoleRenderer(64, 48, integrator="neural", neural_params=str(out))
+    assert r2._neural_domain is not None
+
+
+def test_distill_requires_neural_integrator():
+    r = BlackHoleRenderer(32, 32)
+    with pytest.raises(ValueError, match="integrator='neural'"):
+        r.distill(rays=1000, steps=10)
