@@ -112,8 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "SSIM ~0.9995); incompatible with --disk/--debug-steps")
     p.add_argument("--neural-weights", metavar="PATH",
                    help="surrogate weights for --integrator neural (default: "
-                        "the committed general net; the *_orbit[_xl].npz "
-                        "assets are distilled for the default orbit scene)")
+                        "the committed general net, or neural_kerr.npz with "
+                        "--model kerr; the *_orbit[_xl].npz assets are "
+                        "distilled for the default orbit scene)")
     p.add_argument("--out", metavar="DIR", help="write frames as PNGs into DIR")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="stream the live render as MJPEG over HTTP on PORT "

@@ -26,9 +26,41 @@ Training targets come from the framework's own oracle (ops/trace.py, the
 line-faithful WGSL transcription) at the library-default workload
 (max_steps = 500, dt = 0.1), so the surrogate learns the *reference
 dynamics* — including its Euler truncation — not textbook GR. The
-delta parameterization makes the easy regime trivially exact (far rays:
-delta -> 0) and the periodic (cos, sin) loss absorbs winding near the
-photon sphere, where delta exceeds pi.
+periodic (cos, sin) loss absorbs winding near the photon sphere.
+
+Envelope parameterization (feature_version 3, the round-4 generality
+fix). The head does NOT emit delta directly: it emits an O(1)
+coefficient g with
+
+    delta = E(r0, rs, psi) * g
+    E     = (rs/r0) sin(psi) * (1/4 + L)
+    L     = log1p(1 / (|t| + 2e-2)) * sigmoid(-8 cos(psi))
+    t     = r0 sin(psi) / (b_c) - 1        (distance from critical b)
+
+Why: TPU matmuls run at bf16 input rounding (see mlp_apply), which puts
+an ~4e-3 * O(activation-scale) ABSOLUTE noise floor on any head output —
+measured as the general net's flat 0.03-0.09 deg error across scenes
+regardless of width ("width is NOT the generality lever",
+measurements/neural/quality_general*_domain16.jsonl). The reference
+dynamics' weak-field deflection is tiny — its tangential-damping force
+a ~ -(rs/2r^2) v_t gives dphi/ds ~ -K(r) sin(2 theta), whose leading
+straight-path integral CANCELS, leaving delta ~ -(rs/4 r0) sin(psi)
+(measured: delta / [(rs/r0) sin psi] in [-0.38, -0.14] across the
+domain, scripts/wf_profile_probe.py) — so the absolute floor swamps it.
+The analytic envelope E carries the magnitude: (rs/r0) sin(psi) is the
+weak-field scale and the log1p factor covers the logarithmic divergence
+toward the critical impact parameter (measured ratio up to ~+17 at
+q -> 1). The net's bf16 output noise then lands RELATIVE to the local
+deflection scale: ~0.4% of delta instead of ~0.002 rad of it.
+
+The sigmoid(-8 cos psi) gate on the log spike is the A/B-measured
+refinement (scripts/envelope_ab3.py, measurements/neural/
+envelope_ab.jsonl): b ~ b_c only diverges for INBOUND rays (cos psi < 0,
+heading toward the hole); an outbound ray at the same impact parameter
+deflects a tiny amount, so an ungated spike multiplies head noise ~16x
+exactly where delta is small and E^2-amplified gradients divert training
+capacity. Gating cut the trained net's p99 from 2.26 deg to 1.22 deg and
+improved every |t| < 0.5 profile bin at identical inference cost.
 
 Everything here is pure JAX (no flax dependency): params are a tuple of
 (W, b) pairs, trainable with optax and usable directly inside jit/scan.
@@ -42,7 +74,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FEATURE_VERSION = 2
+FEATURE_VERSION = 3
 N_FEATURES = 16
 DEFAULT_HIDDEN = (96, 96, 96)
 # GR critical impact parameter b_c = (3*sqrt(3)/2) rs — only used to
@@ -84,6 +116,12 @@ def save_params(path: str, params, *, meta: dict | None = None) -> None:
 def load_params(path: str):
     """Load params saved by save_params; returns (params, meta)."""
     with np.load(path) as z:
+        if "feature_version" not in z.files:
+            raise ValueError(
+                f"weights at {path} are not a Schwarzschild-surrogate "
+                "asset (no feature_version field; Kerr assets load via "
+                "models/neural_kerr.load_params)"
+            )
         if int(z["feature_version"]) != FEATURE_VERSION:
             raise ValueError(
                 f"weights at {path} use feature_version "
@@ -166,6 +204,28 @@ def ray_features(r0, rs, cos_psi, sin_psi):
     )
 
 
+def delta_envelope(r0, rs, sin_psi, cos_psi):
+    """Analytic deflection-magnitude envelope E (module docstring).
+
+    fp32 throughout — the envelope is what makes the surrogate's bf16
+    head noise relative instead of absolute, so it must not itself be
+    rounded. Bounded: max over the live domain is (rs/r0) sin_crit *
+    (0.25 + log1p(50)) ~ 10.8 * rs^2/r0^2; weak field ~ (rs/r0) sin_psi.
+    The sigmoid gate restricts the critical-b log spike to inbound rays
+    (cos psi < 0) — the divergence is physical only for rays that
+    approach the photon sphere (module docstring, A/B-measured).
+    """
+    r0 = jnp.asarray(r0, jnp.float32)
+    rs = jnp.asarray(rs, jnp.float32)
+    sin_psi = jnp.asarray(sin_psi, jnp.float32)
+    cos_psi = jnp.asarray(cos_psi, jnp.float32)
+    t = r0 * sin_psi / (_BC_FACTOR * rs) - 1.0
+    spike = jnp.log1p(1.0 / (jnp.abs(t) + 2e-2)) * jax.nn.sigmoid(
+        -8.0 * cos_psi
+    )
+    return (rs / r0) * sin_psi * (0.25 + spike)
+
+
 def mlp_apply(params, feats, *, dtype=jnp.float32):
     """Forward pass -> (..., 2): [delta, capture_logit].
 
@@ -199,9 +259,14 @@ def mlp_apply(params, feats, *, dtype=jnp.float32):
 
 
 def predict_plane(params, r0, rs, cos_psi, sin_psi, *, dtype=jnp.float32):
-    """Reduced-coordinate prediction -> (delta, capture_prob)."""
+    """Reduced-coordinate prediction -> (delta, capture_prob).
+
+    delta = envelope * head-coefficient (module docstring): the fp32
+    envelope carries the deflection magnitude, the net the O(1) shape.
+    """
     out = mlp_apply(params, ray_features(r0, rs, cos_psi, sin_psi), dtype=dtype)
-    return out[..., 0], jax.nn.sigmoid(out[..., 1])
+    delta = delta_envelope(r0, rs, sin_psi, cos_psi) * out[..., 0]
+    return delta, jax.nn.sigmoid(out[..., 1])
 
 
 def predict_directions(
@@ -306,7 +371,7 @@ def make_dataset(
     *,
     max_steps: int = 500,
     dt: float = 0.1,
-    chunk: int = 262144,
+    chunk: int = 1048576,
     r_range=(3.0, 60.0),
     rs_range=(0.5, 4.0),
 ):
@@ -332,32 +397,48 @@ def make_dataset(
             )
         )
     )
+    # one stacked (7, m) device->host fetch per chunk: through the
+    # tunneled TPU each device_get costs ~10-20 s of round-trip latency
+    # regardless of size, so fetching the seven columns separately made
+    # dataset generation 7x slower than the trace itself (measured
+    # 1238 s for 2M rays; single-fetch ~1/6 of that)
+    @jax.jit
+    def stack_chunk(origins, dirs, r0, psi, rs, rs_g):
+        res = traced(
+            origins.reshape(groups, -1, 3),
+            dirs.reshape(groups, -1, 3),
+            rs_g,
+        )
+        m = r0.shape[0]
+        fv = res.final_vel.reshape(m, 3)
+        return jnp.stack(
+            [
+                r0,
+                rs,
+                jnp.cos(psi),
+                jnp.sin(psi),
+                fv[:, 0],
+                fv[:, 1],
+                (res.status.reshape(m) == STATUS_CAPTURED).astype(
+                    jnp.float32
+                ),
+            ]
+        )
+
+    names = ("r0", "rs", "cos_psi", "sin_psi", "a", "b", "captured")
     done = 0
     while done < n:
         m = min(chunk, n - done)
         m = (max(m // groups, 1)) * groups
-        per = m // groups
         key, k_rs, sub = jax.random.split(key, 3)
         rs_g = jax.random.uniform(
             k_rs, (groups,), jnp.float32, rs_range[0], rs_range[1]
         )
-        rs = jnp.repeat(rs_g, per)
+        rs = jnp.repeat(rs_g, m // groups)
         origins, dirs, r0, psi = sample_rays(sub, m, rs, r_range=r_range)
-        res = traced(
-            origins.reshape(groups, per, 3),
-            dirs.reshape(groups, per, 3),
-            rs_g,
-        )
-        fv = res.final_vel.reshape(m, 3)
-        outs["r0"].append(np.asarray(r0))
-        outs["rs"].append(np.asarray(rs))
-        outs["cos_psi"].append(np.asarray(jnp.cos(psi)))
-        outs["sin_psi"].append(np.asarray(jnp.sin(psi)))
-        outs["a"].append(np.asarray(fv[:, 0]))
-        outs["b"].append(np.asarray(fv[:, 1]))
-        outs["captured"].append(
-            np.asarray(res.status.reshape(m) == STATUS_CAPTURED, np.float32)
-        )
+        block = np.asarray(stack_chunk(origins, dirs, r0, psi, rs, rs_g))
+        for i, name in enumerate(names):
+            outs[name].append(block[i])
         done += m
     return {k: jnp.asarray(np.concatenate(v)) for k, v in outs.items()}
 
@@ -379,7 +460,10 @@ def loss_fn(params, batch):
         batch["r0"], batch["rs"], batch["cos_psi"], batch["sin_psi"]
     )
     out = mlp_apply(params, feats)
-    delta, logit = out[..., 0], out[..., 1]
+    delta = delta_envelope(
+        batch["r0"], batch["rs"], batch["sin_psi"], batch["cos_psi"]
+    ) * out[..., 0]
+    logit = out[..., 1]
     phi = jnp.arctan2(batch["sin_psi"], batch["cos_psi"]) + delta
     live = 1.0 - batch["captured"]
     dir_err = (jnp.cos(phi) - batch["a"]) ** 2 + (jnp.sin(phi) - batch["b"]) ** 2
@@ -469,7 +553,10 @@ def evaluate(params, dataset):
         dataset["r0"], dataset["rs"], dataset["cos_psi"], dataset["sin_psi"]
     )
     out = mlp_apply(params, feats)
-    delta, logit = out[..., 0], out[..., 1]
+    delta = delta_envelope(
+        dataset["r0"], dataset["rs"], dataset["sin_psi"], dataset["cos_psi"]
+    ) * out[..., 0]
+    logit = out[..., 1]
     phi = jnp.arctan2(dataset["sin_psi"], dataset["cos_psi"]) + delta
     cosang = jnp.clip(
         jnp.cos(phi) * dataset["a"] + jnp.sin(phi) * dataset["b"], -1.0, 1.0

@@ -16,7 +16,8 @@ of 16 (1, P) slices (cheap — sublanes are the flexible axis), then
 
     h = tanh(W1^T (h1,16) @ F (16,P))   ... (h1,P)
     h = tanh(Wk^T @ h)                   ... hidden chain
-    o = W4^T (8,h3) @ h                  ... (8,P): row 0 delta, row 1 logit
+    o = W4^T (8,h3) @ h                  ... (8,P): row 0 deflection
+                                             coefficient, row 1 logit
 
 with bf16 operands and fp32 accumulation — the same arithmetic XLA's
 DEFAULT precision uses, so the committed weights stay on their trained
@@ -208,11 +209,23 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
                 if li < n_layers - 1:
                     h = jnp.tanh(o).astype(dtype)
                 else:
-                    h = o  # (8, P) fp32 head: row 0 delta, row 1 logit
+                    h = o  # (8, P) fp32 head: row 0 coeff, row 1 logit
             delta_rows.append(h[0:1, :])
             logit_rows.append(h[1:2, :])
         delta = jnp.concatenate(delta_rows, axis=0)  # (8, P)
         logit = jnp.concatenate(logit_rows, axis=0)
+
+        # envelope parameterization (models/neural.py feature_version 3):
+        # the head emits an O(1) coefficient; the fp32 analytic envelope
+        # carries the deflection magnitude (t is the f_log feature's
+        # criticality coordinate, already on registers)
+        # The sigmoid gate restricts the critical-b log spike to inbound
+        # rays — must match models/neural.delta_envelope exactly (tested
+        # in interpret parity).
+        spike = jnp.log1p(1.0 / (jnp.abs(t) + 2e-2)) * jax.nn.sigmoid(
+            -8.0 * c
+        )
+        delta = delta * ((rs / r0) * s * (0.25 + spike))
 
         # in-plane rotation by delta (angle addition — no arctan2)
         cd = jnp.cos(delta)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.camera import Camera, generate_rays
 from ..models.neural import predict_directions
+from ..models.neural_kerr import N_FEATURES_KERR, predict_directions_kerr
 from .trace import STATUS_CAPTURED, STATUS_ESCAPED, TraceResult
 
 
@@ -36,10 +37,13 @@ def neural_trace_image(
 ) -> TraceResult:
     """Predict the (H, W) deflection field for one frame.
 
-    `params`: MLP weights (models/neural.py). `dtype` selects the matmul
-    element type (fp32 default; bf16 for maximum MXU rate). `row0` /
-    `local_shape` render a row band of the full image (mesh-sharded
-    rendering, parallel/mesh.py) — UVs always reference the full frame.
+    `params`: MLP weights (models/neural.py), or the Kerr surrogate's
+    (models/neural_kerr.py) — dispatched on the static input-feature
+    width (16 Schwarzschild / 22 Kerr; spin then comes from the scene).
+    `dtype` selects the matmul element type (fp32 default; bf16 for
+    maximum MXU rate). `row0` / `local_shape` render a row band of the
+    full image (mesh-sharded rendering, parallel/mesh.py) — UVs always
+    reference the full frame.
     """
     h, w = local_shape or (scene.screen_height, scene.screen_width)
     origins, dirs = generate_rays(
@@ -49,14 +53,25 @@ def neural_trace_image(
     # flatten to a (N, 3) batch: one big MXU-friendly matmul per layer
     flat_o = origins.reshape(-1, 3)
     flat_d = dirs.reshape(-1, 3)
-    vel, captured = predict_directions(
-        params,
-        flat_o,
-        flat_d,
-        scene.black_hole_position,
-        scene.schwarzschild_radius,
-        dtype=dtype,
-    )
+    if params[0][0].shape[0] == N_FEATURES_KERR:
+        vel, captured = predict_directions_kerr(
+            params,
+            flat_o,
+            flat_d,
+            scene.black_hole_position,
+            scene.schwarzschild_radius,
+            scene.spin,
+            dtype=dtype,
+        )
+    else:
+        vel, captured = predict_directions(
+            params,
+            flat_o,
+            flat_d,
+            scene.black_hole_position,
+            scene.schwarzschild_radius,
+            dtype=dtype,
+        )
     vel = vel.reshape(h, w, 3)
     captured = captured.reshape(h, w)
     status = jnp.where(

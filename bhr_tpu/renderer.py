@@ -442,16 +442,19 @@ class BlackHoleRenderer:
             **({"dt": dt} if dt is not None else {}),
             **extra_cfg,
         )
-        # roadmap Phase 5 neural surrogate: Schwarzschild deflection only —
-        # no disk/adaptive/debug, and the model must be schwarzschild
+        # roadmap Phase 5 neural surrogate: Schwarzschild or exact Kerr
+        # deflection (models/neural.py, models/neural_kerr.py) — no
+        # disk/adaptive/debug
         self.neural_params = None
         self.neural_dtype = str(neural_dtype)
         if integ == "neural":
-            if (model or path_model) != "schwarzschild":
+            neural_model = model or path_model
+            if neural_model not in ("schwarzschild", "kerr"):
                 raise ValueError(
-                    "integrator='neural' supports model='schwarzschild' only "
-                    f"(got {model or path_model!r}); the surrogate is trained "
-                    "on Schwarzschild dynamics (models/neural.py)"
+                    "integrator='neural' supports model='schwarzschild' or "
+                    f"'kerr' (got {neural_model!r}); surrogates are trained "
+                    "on those dynamics (models/neural.py, "
+                    "models/neural_kerr.py)"
                 )
             if adaptive or disk:
                 raise ValueError(
@@ -465,29 +468,43 @@ class BlackHoleRenderer:
                     "already skips integration; there is no low-res geodesic "
                     "pass to save)"
                 )
-            from .models.neural import load_params
+            if neural_model == "kerr":
+                from .models.neural_kerr import load_params
+            else:
+                from .models.neural import load_params
 
             if neural_params is None:
                 import pathlib
 
-                default = (
-                    pathlib.Path(__file__).parent
-                    / "assets"
-                    / "neural_schwarzschild.npz"
+                asset = (
+                    "neural_kerr.npz"
+                    if neural_model == "kerr"
+                    else "neural_schwarzschild.npz"
                 )
+                default = pathlib.Path(__file__).parent / "assets" / asset
                 if not default.exists():
+                    script = (
+                        "scripts/train_neural_kerr.py"
+                        if neural_model == "kerr"
+                        else "scripts/train_neural.py"
+                    )
                     raise FileNotFoundError(
                         f"no trained surrogate weights at {default}; run "
-                        "scripts/train_neural.py (or pass neural_params=)"
+                        f"{script} (or pass neural_params=)"
                     )
                 neural_params = str(default)
             self._neural_domain = None
+            self._neural_spin_range = None
             if isinstance(neural_params, (str, bytes)):
                 neural_params, meta = load_params(neural_params)
                 if "r_range" in meta and "rs_range" in meta:
                     self._neural_domain = (
                         tuple(np.asarray(meta["r_range"], np.float32)),
                         tuple(np.asarray(meta["rs_range"], np.float32)),
+                    )
+                if "spin_range" in meta:
+                    self._neural_spin_range = tuple(
+                        np.asarray(meta["spin_range"], np.float32)
                     )
             self.neural_params = jax.device_put(
                 neural_params, self.context.device
@@ -645,6 +662,15 @@ class BlackHoleRenderer:
                     "general weights",
                     r0, r_rng[0], r_rng[1], rs_v, rs_rng[0], rs_rng[1],
                 )
+            sp_rng = getattr(self, "_neural_spin_range", None)
+            if sp_rng is not None:
+                spin_v = float(np.asarray(scene.spin, np.float32))
+                if not sp_rng[0] <= spin_v <= sp_rng[1]:
+                    logger.warning(
+                        "Kerr neural surrogate extrapolating outside its "
+                        "trained spin range: a*=%.2f (trained %.2f-%.2f)",
+                        spin_v, sp_rng[0], sp_rng[1],
+                    )
         disk_params = (
             DiskParams.for_scene(scene.schwarzschild_radius) if self.config.disk else None
         )

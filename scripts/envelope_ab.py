@@ -54,7 +54,7 @@ def main():
     envelope_real = neural.delta_envelope
     for tag, env in (
         ("v3_envelope", envelope_real),
-        ("v2_absolute", lambda r0, rs, s: jnp.ones_like(
+        ("v2_absolute", lambda r0, rs, s, c: jnp.ones_like(
             jnp.asarray(r0, jnp.float32))),
     ):
         neural.delta_envelope = env

@@ -80,7 +80,9 @@ def make_env(floor, t0=0.0):
 def profile(params, ev):
     feats = neural.ray_features(ev["r0"], ev["rs"], ev["cos_psi"], ev["sin_psi"])
     out = neural.mlp_apply(params, feats)
-    delta = neural.delta_envelope(ev["r0"], ev["rs"], ev["sin_psi"]) * out[..., 0]
+    delta = neural.delta_envelope(
+        ev["r0"], ev["rs"], ev["sin_psi"], ev["cos_psi"]
+    ) * out[..., 0]
     phi = jnp.arctan2(ev["sin_psi"], ev["cos_psi"]) + delta
     cosang = jnp.clip(
         jnp.cos(phi) * ev["a"] + jnp.sin(phi) * ev["b"], -1.0, 1.0

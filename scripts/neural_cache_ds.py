@@ -6,6 +6,7 @@ same data; dataset generation is the expensive step (tunneled-TPU
 transfer latency), so cache it once.
 
 Usage: python scripts/neural_cache_ds.py OUT.npz RAYS [EVAL_RAYS] [SEED]
+           [R_LO,R_HI] [RS_LO,RS_HI]
 """
 
 import pathlib
@@ -26,12 +27,24 @@ def main():
     rays = int(sys.argv[2])
     eval_rays = int(sys.argv[3]) if len(sys.argv) > 3 else 262_144
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 11
+    r_range = (
+        tuple(float(x) for x in sys.argv[5].split(","))
+        if len(sys.argv) > 5 else (3.0, 60.0)
+    )
+    rs_range = (
+        tuple(float(x) for x in sys.argv[6].split(","))
+        if len(sys.argv) > 6 else (0.5, 4.0)
+    )
     key = jax.random.PRNGKey(seed)
     k_data, k_eval, _ = jax.random.split(key, 3)
     t0 = time.time()
-    ds = neural.make_dataset(k_data, rays, max_steps=500)
+    ds = neural.make_dataset(
+        k_data, rays, max_steps=500, r_range=r_range, rs_range=rs_range
+    )
     t1 = time.time()
-    ev = neural.make_dataset(k_eval, eval_rays, max_steps=500)
+    ev = neural.make_dataset(
+        k_eval, eval_rays, max_steps=500, r_range=r_range, rs_range=rs_range
+    )
     t2 = time.time()
     arrays = {f"train_{k}": np.asarray(v) for k, v in ds.items()}
     arrays.update({f"eval_{k}": np.asarray(v) for k, v in ev.items()})

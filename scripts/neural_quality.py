@@ -51,10 +51,24 @@ def main():
     ap.add_argument("--save", default="", help="npz dump of frames+fields for offline analysis")
     ap.add_argument(
         "--weights",
-        default=str(REPO / "bhr_tpu" / "assets" / "neural_schwarzschild.npz"),
-        help="surrogate weights to gauge (e.g. the _orbit.npz distilled net)",
+        default="",
+        help="surrogate weights to gauge (e.g. the _orbit.npz distilled "
+             "net); default: the committed general net for the model",
     )
+    ap.add_argument("--model", default="schwarzschild",
+                    choices=["schwarzschild", "kerr"],
+                    help="spacetime model: kerr gauges the Kerr surrogate "
+                         "against the exact Kerr-Schild integrator")
+    ap.add_argument("--spin", type=float, default=0.9,
+                    help="Kerr spin a/M (fixed scenes; --domain samples "
+                         "spins across [0, 0.95] instead)")
     args = ap.parse_args()
+    if not args.weights:
+        args.weights = str(
+            REPO / "bhr_tpu" / "assets"
+            / ("neural_kerr.npz" if args.model == "kerr"
+               else "neural_schwarzschild.npz")
+        )
 
     import jax
 
@@ -64,13 +78,20 @@ def main():
 
     from bhr_tpu import BlackHoleRenderer, SceneParams
     from bhr_tpu.core.camera import orbit_camera
-    from bhr_tpu.models.neural import load_params
     from bhr_tpu.ops.neural_trace import neural_trace_image_jit
     from bhr_tpu.ops.pallas_trace import pallas_trace_image
     from bhr_tpu.ops.trace import STATUS_CAPTURED, TraceConfig
 
+    if args.model == "kerr":
+        from bhr_tpu.models.neural_kerr import load_params
+    else:
+        from bhr_tpu.models.neural import load_params
+
     w, h, steps = args.width, args.height, args.steps
-    scene = SceneParams(screen_width=w, screen_height=h, max_steps=steps)
+    spin0 = jnp.float32(args.spin if args.model == "kerr" else 0.0)
+    scene = SceneParams(
+        screen_width=w, screen_height=h, max_steps=steps, spin=spin0
+    )
     skybox = None
     if args.texture:
         from bhr_tpu.io.skybox import procedural_starfield
@@ -78,14 +99,14 @@ def main():
         skybox = procedural_starfield(2048, 4096, seed=2020)
 
     kw = dict(skybox=skybox) if skybox is not None else {}
-    ref = BlackHoleRenderer(w, h, fast_math=True, **kw)
+    ref = BlackHoleRenderer(w, h, fast_math=True, model=args.model, **kw)
     net = BlackHoleRenderer(
-        w, h, integrator="neural", neural_dtype=args.dtype,
-        neural_params=args.weights, **kw
+        w, h, integrator="neural", model=args.model,
+        neural_dtype=args.dtype, neural_params=args.weights, **kw
     )
     params, meta = load_params(args.weights)
 
-    cfg = TraceConfig()
+    cfg = TraceConfig(model=args.model)
     on_tpu = jax.default_backend() != "cpu"
     ssims, ious, medians, p99s, mean_u8 = [], [], [], [], []
     if args.domain:
@@ -94,9 +115,14 @@ def main():
         rng = np.random.default_rng(7)
         r0s = np.exp(rng.uniform(np.log(3.0), np.log(60.0), args.domain))
         rss = rng.uniform(0.5, 4.0, args.domain)
-        rss = np.minimum(rss, r0s / 1.3)
+        rss = np.minimum(rss, r0s / (1.6 if args.model == "kerr" else 1.3))
+        spins = (
+            rng.uniform(0.0, 0.95, args.domain)
+            if args.model == "kerr"
+            else np.zeros(args.domain)
+        )
         scenes = []
-        for r0, rs in zip(r0s, rss):
+        for r0, rs, sp in zip(r0s, rss, spins):
             cam_k = __import__("bhr_tpu").Camera.new(
                 [0.0, float(r0) * 0.316, float(r0) * 0.949],
                 [0.0, 0.0, 0.0], [0.0, 1.0, 0.0],
@@ -105,7 +131,8 @@ def main():
                 cam_k,
                 SceneParams(screen_width=w, screen_height=h,
                             max_steps=steps,
-                            schwarzschild_radius=jnp.float32(rs)),
+                            schwarzschild_radius=jnp.float32(rs),
+                            spin=jnp.float32(sp)),
                 round(float(r0), 2), round(float(rs), 3),
             ))
     else:
@@ -167,8 +194,11 @@ def main():
         medians.append(float(np.median(err)))
         p99s.append(float(np.percentile(err, 99)))
         if scenes is not None:
+            scene_rec = {"r0": r0_k, "rs": rs_k}
+            if args.model == "kerr":
+                scene_rec["spin"] = round(float(scene.spin), 3)
             print(json.dumps({
-                "scene": {"r0": r0_k, "rs": rs_k},
+                "scene": scene_rec,
                 "ssim": round(ssims[-1], 5),
                 "capture_iou": round(ious[-1], 5),
                 "median_deg": round(medians[-1], 4),
@@ -190,6 +220,7 @@ def main():
         json.dumps(
             {
                 "config": f"{w}x{h}x{steps}"
+                + ("_kerr" if args.model == "kerr" else "")
                 + ("_texture" if args.texture else "")
                 + (f"_domain{args.domain}" if args.domain else "")
                 + (f"_{args.dtype}" if args.dtype != "float32" else ""),

@@ -8,6 +8,9 @@ performance contracts only exist on the real chip):
   2. exact_bit_check.py  — _shared_div native-ops bit-parity (exact tier)
   3. golden_diff.py      — at-scale oracle-vs-kernel parity with the
                            localization gate (--check)
+  3b. neural_device_check.py — fused neural kernel vs staged path ON THE
+                           CHIP (both emit flavors) + every committed
+                           asset renders
   4. bench.py            — headline fast-tier slope <= 16 ms; exact tier
                            burst slope <= 16 ms and SUSTAINED (second-
                            repeat-on) slope <= 21 ms. The sustained bound
@@ -87,6 +90,7 @@ def main(argv=None):
         ("smoke", [py, "scripts/tpu_smoke.py"], 1200, None),
         ("bit_exact", [py, "scripts/exact_bit_check.py"], 1200, None),
         ("golden", golden, 3600, None),
+        ("neural", [py, "scripts/neural_device_check.py"], 1200, None),
         ("bench_fast", [py, "bench.py"], 1200, None),
     ]
     if not args.quick:

@@ -43,6 +43,12 @@ def main():
     )
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument(
+        "--dataset", type=str, default="",
+        help="cached dataset npz (scripts/neural_cache_ds.py format) — "
+             "skips oracle tracing; --rays/--r-range/--rs-range are then "
+             "only recorded as metadata if they match the cache",
+    )
+    ap.add_argument(
         "--quick", action="store_true", help="tiny smoke run (CI-sized)"
     )
     ap.add_argument("--r-range", type=str, default="3,60",
@@ -109,14 +115,21 @@ def main():
         flush=True,
     )
     t0 = time.time()
-    dataset = neural.make_dataset(
-        k_train, args.rays, max_steps=args.max_steps, dt=args.dt,
-        r_range=r_range, rs_range=rs_range,
-    )
-    eval_set = neural.make_dataset(
-        k_eval, args.eval_rays, max_steps=args.max_steps, dt=args.dt,
-        r_range=r_range, rs_range=rs_range,
-    )
+    if args.dataset:
+        sys.path.insert(0, str(REPO / "scripts"))
+        from neural_cache_ds import load as load_cached
+
+        dataset, eval_set = load_cached(args.dataset)
+        args.rays = int(dataset["r0"].shape[0])
+    else:
+        dataset = neural.make_dataset(
+            k_train, args.rays, max_steps=args.max_steps, dt=args.dt,
+            r_range=r_range, rs_range=rs_range,
+        )
+        eval_set = neural.make_dataset(
+            k_eval, args.eval_rays, max_steps=args.max_steps, dt=args.dt,
+            r_range=r_range, rs_range=rs_range,
+        )
     cap_frac = float(dataset["captured"].mean())
     print(
         f"dataset: {time.time() - t0:.1f}s, captured fraction {cap_frac:.3f}",

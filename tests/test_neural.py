@@ -166,8 +166,12 @@ class TestProductionWeights:
 
 
 def test_neural_config_validation():
+    # kerr is supported (models/neural_kerr.py); the approximate kerr_lt
+    # and flat models have no surrogate
     with pytest.raises(ValueError, match="schwarzschild"):
-        BlackHoleRenderer(32, 32, integrator="neural", model="kerr")
+        BlackHoleRenderer(32, 32, integrator="neural", model="kerr_lt")
+    with pytest.raises(ValueError, match="schwarzschild"):
+        BlackHoleRenderer(32, 32, integrator="neural", model="flat")
     with pytest.raises(ValueError, match="disk"):
         BlackHoleRenderer(32, 32, integrator="neural", disk=True)
     with pytest.raises(ValueError, match="multires"):
@@ -183,17 +187,26 @@ def test_neural_missing_weights_message():
 
 def test_all_committed_assets_load_and_predict():
     """Every shipped .npz asset must load under the current FEATURE_VERSION
-    and produce finite unit directions."""
+    (or KERR_FEATURE_VERSION) and produce finite unit directions."""
+    from bhr_tpu.models import neural_kerr
+
     assets = sorted(WEIGHTS.parent.glob("*.npz"))
     if not assets:
         pytest.skip("no committed weights")
     origins = jnp.array([[15.0, 5.0, 0.0]], jnp.float32)
     dirs = jnp.array([[-0.9, -0.3, 0.1]], jnp.float32)
     for path in assets:
-        params, meta = neural.load_params(str(path))
-        v, cap = neural.predict_directions(
-            params, origins, dirs, jnp.zeros(3), jnp.float32(2.0)
-        )
+        if path.name.startswith("neural_kerr"):
+            params, meta = neural_kerr.load_params(str(path))
+            v, cap = neural_kerr.predict_directions_kerr(
+                params, origins, dirs, jnp.zeros(3), jnp.float32(2.0),
+                jnp.float32(0.7),
+            )
+        else:
+            params, meta = neural.load_params(str(path))
+            v, cap = neural.predict_directions(
+                params, origins, dirs, jnp.zeros(3), jnp.float32(2.0)
+            )
         assert bool(jnp.all(jnp.isfinite(v))), path.name
         np.testing.assert_allclose(
             np.asarray(jnp.sum(v * v, axis=-1)), 1.0, atol=1e-5,
