@@ -48,6 +48,13 @@ def main():
     t2 = time.time()
     arrays = {f"train_{k}": np.asarray(v) for k, v in ds.items()}
     arrays.update({f"eval_{k}": np.asarray(v) for k, v in ev.items()})
+    # generation provenance: consumers (train_neural.py --dataset) read
+    # these back so asset metadata records the CACHE's domain, not
+    # whatever the CLI args happened to be (ADVICE round-4 low)
+    arrays["gen_r_range"] = np.asarray(r_range, np.float32)
+    arrays["gen_rs_range"] = np.asarray(rs_range, np.float32)
+    arrays["gen_max_steps"] = np.int32(500)
+    arrays["gen_seed"] = np.int32(seed)
     np.savez(out, **arrays)
     print(
         f"train {rays} rays {t1 - t0:.1f}s, eval {eval_rays} rays "
@@ -56,7 +63,7 @@ def main():
     )
 
 
-def load(path):
+def load(path, with_meta: bool = False):
     import jax.numpy as jnp
 
     z = np.load(path)
@@ -64,6 +71,9 @@ def load(path):
         k[6:]: jnp.asarray(z[k]) for k in z.files if k.startswith("train_")
     }
     ev = {k[5:]: jnp.asarray(z[k]) for k in z.files if k.startswith("eval_")}
+    if with_meta:
+        meta = {k[4:]: z[k] for k in z.files if k.startswith("gen_")}
+        return train, ev, meta
     return train, ev
 
 

@@ -119,8 +119,29 @@ def main():
         sys.path.insert(0, str(REPO / "scripts"))
         from neural_cache_ds import load as load_cached
 
-        dataset, eval_set = load_cached(args.dataset)
+        dataset, eval_set, cache_meta = load_cached(args.dataset, with_meta=True)
         args.rays = int(dataset["r0"].shape[0])
+        # the asset meta must record the CACHE's generation domain, not the
+        # CLI args (the renderer's extrapolation warning reads it). Caches
+        # written before provenance fields existed carry none — warn.
+        if "r_range" in cache_meta and "rs_range" in cache_meta:
+            cached_r = tuple(float(x) for x in cache_meta["r_range"])
+            cached_rs = tuple(float(x) for x in cache_meta["rs_range"])
+            if cached_r != r_range or cached_rs != rs_range:
+                print(
+                    f"note: --dataset domain r={cached_r} rs={cached_rs} "
+                    f"overrides CLI r={r_range} rs={rs_range} for asset "
+                    "metadata",
+                    flush=True,
+                )
+            r_range, rs_range = cached_r, cached_rs
+        else:
+            print(
+                "warning: dataset cache has no generation-domain fields "
+                "(pre-provenance cache); asset meta records the CLI "
+                f"r={r_range} rs={rs_range}, which may not match the cache",
+                flush=True,
+            )
     else:
         dataset = neural.make_dataset(
             k_train, args.rays, max_steps=args.max_steps, dt=args.dt,
