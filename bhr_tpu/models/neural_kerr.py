@@ -261,14 +261,19 @@ def predict_directions_kerr(params, origins, directions, bh_pos, rs, spin,
 
 
 def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
-                     boundary_frac=0.5):
+                     boundary_frac=0.5, cth_range=(-1.0, 1.0)):
     """Sample full-3D rays: origin at polar angle theta0 from the spin
     axis (azimuth fixed by axisymmetry), direction at angle psi from the
     radial with uniform azimuth alpha around it. Returns (origins, dirs).
 
     Boundary concentration uses the Schwarzschild critical angle; the
     spin-shifted fold sits within |b_c(xi) - b_c| / r0 <= 0.35 sin_crit
-    of it, inside the 3 sin_crit sampling spread for every spin."""
+    of it, inside the 3 sin_crit sampling spread for every spin.
+
+    `cth_range` restricts the origin polar angle (cos theta0 uniform in
+    the band) — per-scene distillation narrows it to the camera's
+    latitude, where the Kerr reduction is NOT axisymmetric-free (uy
+    enters the feature map)."""
     k_r, k_th, k_psi, k_al, k_mix, k_off = jax.random.split(key, 6)
     rs = jnp.asarray(rs, jnp.float32)
     lo = jnp.maximum(jnp.float32(r_range[0]), 1.6 * rs)
@@ -277,8 +282,10 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
         jax.random.uniform(k_r, (n,), jnp.float32)
         * (jnp.log(hi) - jnp.log(lo)) + jnp.log(lo)
     )
-    # uniform on the sphere: cos(theta0) uniform
-    cth = jax.random.uniform(k_th, (n,), jnp.float32, -1.0, 1.0)
+    # uniform on the sphere band: cos(theta0) uniform in cth_range
+    cth = jax.random.uniform(
+        k_th, (n,), jnp.float32, cth_range[0], cth_range[1]
+    )
     sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
     origins = jnp.stack([r0 * sth, r0 * cth, jnp.zeros_like(r0)], axis=-1)
     u_hat = origins / r0[..., None]
@@ -308,7 +315,7 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
 def make_dataset_kerr(key, n: int, *, max_steps: int = 500, dt: float = 0.1,
                       chunk: int = 1048576, r_range=(3.0, 60.0),
                       rs_range=(0.5, 4.0), spin_range=(0.0, 0.95),
-                      integrator: str = "euler"):
+                      cth_range=(-1.0, 1.0), integrator: str = "euler"):
     """Trace n sampled rays with the exact Kerr-Schild oracle.
 
     Returns dict of (n,) fp32 arrays: r0, rs, spin, c, s, uy, wy, ny and
@@ -368,7 +375,9 @@ def make_dataset_kerr(key, n: int, *, max_steps: int = 500, dt: float = 0.1,
         )
         keys = jax.random.split(sub, groups)
         origins, dirs = jax.vmap(
-            lambda k, rs: sample_rays_kerr(k, per, rs, r_range=r_range)
+            lambda k, rs: sample_rays_kerr(
+                k, per, rs, r_range=r_range, cth_range=cth_range
+            )
         )(keys, rs_g)
         block = np.asarray(stack_chunk(origins, dirs, rs_g, spin_g))
         for i, name in enumerate(names):
@@ -505,3 +514,69 @@ def evaluate(params, dataset):
         "p99_deg": float(jnp.nanpercentile(ang_live, 99.0)),
         "capture_acc": float(acc),
     }
+
+
+def distill_for_scene_kerr(
+    key,
+    r0: float,
+    rs: float,
+    spin: float,
+    *,
+    cth0: float = 0.0,
+    base_params=None,
+    rays: int = 2_000_000,
+    steps: int = 12_000,
+    max_steps: int = 500,
+    dt: float = 0.1,
+    r_margin: float = 1.3,
+    cth_margin: float = 0.2,
+    batch_size: int = 16384,
+    lr: float = 1e-4,
+    eval_rays: int = 131_072,
+    integrator: str = "euler",
+):
+    """Per-scene Kerr distillation (the Kerr analog of
+    models/neural.distill_for_scene — GravLensX, the roadmap's cited
+    speedup at reference docs/ROADMAP.md:1217-1337, trains *per-scene*
+    networks, and it is specifically a Kerr surrogate).
+
+    The scene manifold is much narrower than the Schwarzschild one: rs
+    and a* are pinned, r0 lives in a x`r_margin` band of the camera
+    radius, and — because Kerr is only axisymmetric, not spherically
+    symmetric — the camera's polar latitude pins cos(theta0) to a
+    +-`cth_margin` band around `cth0` (the orbit camera holds a constant
+    latitude, so one distilled net serves the whole orbit). Directions
+    still sweep the full (psi, alpha) sphere with photon-ring boundary
+    concentration. Warm-starting from the general net preserves width,
+    so the distilled weights stay eligible for whatever kernel served
+    the general ones, and swap into a compiled renderer with zero
+    recompilation.
+
+    Returns (params, metrics, (r_range, rs_range), spin_range).
+    """
+    rs = float(rs)
+    spin = float(spin)
+    r_lo = max(float(r0) / r_margin, 1.6 * rs)
+    r_hi = max(float(r0) * r_margin, r_lo * 1.001)
+    cth_lo = max(float(cth0) - cth_margin, -1.0)
+    cth_hi = min(float(cth0) + cth_margin, 1.0)
+    r_range = (r_lo, r_hi)
+    rs_range = (rs, rs)
+    spin_range = (spin, spin)
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    k_data, k_eval, k_fit = jax.random.split(key, 3)
+    common = dict(
+        max_steps=max_steps, dt=dt, r_range=r_range, rs_range=rs_range,
+        spin_range=spin_range, cth_range=(cth_lo, cth_hi),
+        integrator=integrator,
+    )
+    dataset = make_dataset_kerr(k_data, rays, **common)
+    eval_set = make_dataset_kerr(k_eval, eval_rays, **common)
+    result = train(
+        k_fit, dataset, steps=steps, batch_size=batch_size, lr=lr,
+        warm_start=base_params,
+    )
+    metrics = evaluate(result.params, eval_set)
+    metrics["final_loss"] = result.final_loss
+    return result.params, metrics, (r_range, rs_range), spin_range

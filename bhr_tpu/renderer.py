@@ -662,15 +662,17 @@ class BlackHoleRenderer:
                     "general weights",
                     r0, r_rng[0], r_rng[1], rs_v, rs_rng[0], rs_rng[1],
                 )
-            sp_rng = getattr(self, "_neural_spin_range", None)
-            if sp_rng is not None:
-                spin_v = float(np.asarray(scene.spin, np.float32))
-                if not sp_rng[0] <= spin_v <= sp_rng[1]:
-                    logger.warning(
-                        "Kerr neural surrogate extrapolating outside its "
-                        "trained spin range: a*=%.2f (trained %.2f-%.2f)",
-                        spin_v, sp_rng[0], sp_rng[1],
-                    )
+        # independent of the (r0, rs) domain check: weights saved with a
+        # spin_range but no r_range/rs_range meta must still warn
+        sp_rng = getattr(self, "_neural_spin_range", None)
+        if self.config.integrator == "neural" and sp_rng is not None:
+            spin_v = float(np.asarray(scene.spin, np.float32))
+            if not sp_rng[0] <= spin_v <= sp_rng[1]:
+                logger.warning(
+                    "Kerr neural surrogate extrapolating outside its "
+                    "trained spin range: a*=%.2f (trained %.2f-%.2f)",
+                    spin_v, sp_rng[0], sp_rng[1],
+                )
         disk_params = (
             DiskParams.for_scene(scene.schwarzschild_radius) if self.config.disk else None
         )
@@ -858,32 +860,50 @@ class BlackHoleRenderer:
                 "distill() requires integrator='neural' (it retrains the "
                 "surrogate; construct the renderer with integrator='neural')"
             )
-        from .models.neural import distill_for_scene, save_params
-
         camera = camera if camera is not None else self.camera
         scene = scene if scene is not None else self.scene
-        r0 = float(
-            np.linalg.norm(
-                np.asarray(camera.position, np.float32)
-                - np.asarray(scene.black_hole_position, np.float32)
-            )
+        rel = np.asarray(camera.position, np.float32) - np.asarray(
+            scene.black_hole_position, np.float32
         )
+        r0 = float(np.linalg.norm(rel))
         rs = float(np.asarray(scene.schwarzschild_radius, np.float32))
         kw.setdefault("max_steps", int(scene.max_steps))
         kw.setdefault("dt", float(self.config.dt))
-        params, metrics, domain = distill_for_scene(
-            seed, r0, rs, base_params=self.neural_params,
-            rays=rays, steps=steps, **kw,
-        )
+        if self.config.model == "kerr":
+            # Kerr distillation also pins the spin and the camera's polar
+            # latitude (Kerr is axisymmetric, not spherically symmetric;
+            # models/neural_kerr.distill_for_scene_kerr)
+            from .models.neural_kerr import distill_for_scene_kerr
+            from .models.neural_kerr import save_params as save_kerr
+
+            spin = float(np.asarray(scene.spin, np.float32))
+            cth0 = float(rel[1] / max(r0, 1e-12))
+            kw.setdefault("cth0", cth0)
+            params, metrics, domain, spin_range = distill_for_scene_kerr(
+                seed, r0, rs, spin, base_params=self.neural_params,
+                rays=rays, steps=steps, **kw,
+            )
+            self._neural_spin_range = spin_range
+            extra_meta = {"spin_range": spin_range, "cth0": kw["cth0"]}
+            save_fn = save_kerr
+        else:
+            from .models.neural import distill_for_scene, save_params
+
+            params, metrics, domain = distill_for_scene(
+                seed, r0, rs, base_params=self.neural_params,
+                rays=rays, steps=steps, **kw,
+            )
+            extra_meta = {}
+            save_fn = save_params
         self.neural_params = jax.device_put(params, self.context.device)
         self._neural_domain = domain
         if save:
-            save_params(
+            save_fn(
                 str(save), params,
                 meta=dict(
                     r_range=domain[0], rs_range=domain[1],
                     max_steps=kw["max_steps"], train_rays=rays,
-                    train_steps=steps, **metrics,
+                    train_steps=steps, **extra_meta, **metrics,
                 ),
             )
         return metrics

@@ -220,3 +220,47 @@ class TestProductionKerrWeights:
         with caplog.at_level(_logging.WARNING, logger="bhr_tpu"):
             r.render_frame(scene=hot)
         assert any("spin range" in rec.message for rec in caplog.records)
+
+
+@pytest.mark.skipif(
+    not KERR_WEIGHTS.exists(), reason="Kerr weights not trained yet"
+)
+def test_renderer_distill_kerr(tmp_path):
+    """distill() on a model='kerr' renderer runs the Kerr distillation
+    (models/neural_kerr.distill_for_scene_kerr): width preserved, the
+    (r0, rs) domain AND the spin range narrow to the scene, the saved
+    asset round-trips as a Kerr weights file, and the renderer still
+    renders afterwards."""
+    r = BlackHoleRenderer(48, 32, integrator="neural", model="kerr")
+    w_before = [w.shape for w, _ in r.neural_params]
+    scene = r.scene.replace(max_steps=60, spin=jnp.float32(0.7))
+    out = tmp_path / "distilled_kerr.npz"
+    metrics = r.distill(
+        scene=scene, rays=8_192, steps=120, save=out,
+        eval_rays=2_048, lr=5e-4,
+    )
+    assert set(metrics) >= {"median_deg", "p99_deg", "capture_acc"}
+    assert metrics["capture_acc"] > 0.9
+    assert [w.shape for w, _ in r.neural_params] == w_before
+    r_lo, r_hi = r._neural_domain[0]
+    r0 = float(np.linalg.norm(np.asarray(r.camera.position)))
+    assert r_lo <= r0 <= r_hi and r_hi < 60.0
+    assert r._neural_spin_range == pytest.approx((0.7, 0.7))
+    frame = r.render_frame(scene=scene)
+    assert frame.shape[:2] == (32, 48)
+    # the saved npz reloads through the Kerr loader (kerr_feature_version)
+    r2 = BlackHoleRenderer(
+        48, 32, integrator="neural", model="kerr", neural_params=str(out)
+    )
+    assert r2._neural_domain is not None
+    assert r2._neural_spin_range == pytest.approx((0.7, 0.7))
+
+
+def test_sample_rays_kerr_cth_band():
+    """cth_range restricts origins to the requested latitude band (the
+    per-scene distillation's camera-latitude pin)."""
+    o, _ = nk.sample_rays_kerr(
+        jax.random.PRNGKey(3), 4096, 1.0, cth_range=(0.2, 0.45)
+    )
+    cth = np.asarray(o[:, 1] / jnp.sqrt(jnp.sum(o * o, axis=-1)))
+    assert cth.min() >= 0.2 - 1e-5 and cth.max() <= 0.45 + 1e-5
