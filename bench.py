@@ -79,11 +79,23 @@ def main():
     disk = os.environ.get("BHR_BENCH_DISK", "0") == "1"
     integrator = os.environ.get("BHR_BENCH_INTEGRATOR", "euler")
     adaptive = os.environ.get("BHR_BENCH_ADAPTIVE", "0") == "1"
+    # BHR_BENCH_PLUGIN=path.py benches the runtime-swapped physics tier
+    # (model="custom", exact-scratch kernel — the analog of the
+    # reference's --shader hot-swap, src/lib.rs:425-429)
+    plugin = os.environ.get("BHR_BENCH_PLUGIN", "")
 
     from bhr_tpu.ops.trace import TraceConfig
 
+    plug_cfg = {}
+    if plugin:
+        from bhr_tpu.utils.plugin import load_plugin
+
+        accel_fn, cap = load_plugin(plugin)
+        plug_cfg = {"custom_accel": accel_fn, "custom_capture_factor": cap}
+        model = "custom"
     tune_cfg = TraceConfig(
-        integrator=integrator, model=model, adaptive=adaptive, disk=disk
+        integrator=integrator, model=model, adaptive=adaptive, disk=disk,
+        **plug_cfg,
     )
     if os.environ.get("BHR_BENCH_AUTOTUNE") == "1":
         from bhr_tpu.utils.autotune import autotune
@@ -132,10 +144,13 @@ def main():
         extra["neural_dtype"] = os.environ.get(
             "BHR_BENCH_NEURAL_DTYPE", "float32"
         )
+    if plugin:
+        extra["custom_physics"] = plugin
     renderer = BlackHoleRenderer(
         width, height, integrator, use_pallas=use_pallas, tile=tile,
         fast_math=fast_math, kernel_knobs=knobs, skybox=skybox,
-        texture_filter=texture_filter, texture_subsample=texsub, model=model,
+        texture_filter=texture_filter, texture_subsample=texsub,
+        model=None if plugin else model,
         disk=disk, adaptive=adaptive, **extra,
     )
     import jax.numpy as jnp

@@ -261,7 +261,8 @@ def predict_directions_kerr(params, origins, directions, bh_pos, rs, spin,
 
 
 def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
-                     boundary_frac=0.5, cth_range=(-1.0, 1.0)):
+                     boundary_frac=0.5, cth_range=(-1.0, 1.0),
+                     psi_range=(0.0, float(np.pi))):
     """Sample full-3D rays: origin at polar angle theta0 from the spin
     axis (azimuth fixed by axisymmetry), direction at angle psi from the
     radial with uniform azimuth alpha around it. Returns (origins, dirs).
@@ -273,7 +274,10 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
     `cth_range` restricts the origin polar angle (cos theta0 uniform in
     the band) — per-scene distillation narrows it to the camera's
     latitude, where the Kerr reduction is NOT axisymmetric-free (uy
-    enters the feature map)."""
+    enters the feature map). `psi_range` restricts the non-boundary
+    direction samples (a camera frame only contains initial angles in
+    [pi - half_diag_fov, pi]; concentrating there buys ~2.5x effective
+    sample density for per-scene distillation)."""
     k_r, k_th, k_psi, k_al, k_mix, k_off = jax.random.split(key, 6)
     rs = jnp.asarray(rs, jnp.float32)
     lo = jnp.maximum(jnp.float32(r_range[0]), 1.6 * rs)
@@ -294,7 +298,9 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
         [cth, -sth, jnp.zeros_like(r0)], axis=-1
     )  # d(u)/d(theta): unit, orthogonal to u
     ez = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), ex.shape)
-    psi_uniform = jax.random.uniform(k_psi, (n,), jnp.float32, 0.0, jnp.pi)
+    psi_uniform = jax.random.uniform(
+        k_psi, (n,), jnp.float32, psi_range[0], psi_range[1]
+    )
     sin_crit = jnp.clip(_BC_FACTOR * rs / r0, 0.0, 1.0)
     psi_crit = jnp.pi - jnp.arcsin(sin_crit)
     spread = jnp.clip(3.0 * sin_crit, 0.02, 0.25)

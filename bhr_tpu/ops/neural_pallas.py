@@ -54,23 +54,50 @@ _P_WF = 17  # image width (fp32)
 _P_HF = 18  # image height (fp32)
 _P_ASPECT = 19  # width / height
 _P_IDOFF = 20  # flat-pixel-id offset (row0 * width; band rendering)
+_P_SPIN = 21  # Kerr spin a/M (0.0 for Schwarzschild nets; ignored there)
 _PARAMS_LEN = 24
 
 _BC_FACTOR = 2.598076211  # models/neural.py critical-impact normalizer
 
+# Kerr surrogate feature matrices pad 22 -> 24 sublanes (zero rows; the
+# first-layer weight pads matching zero columns, so the matmul is exact).
+# Compile-probed on the v5e by scripts/neural_kernel_probe.py --kerr:
+# raw 22 also lowers, but 24 keeps the sublane count 8-aligned.
+KERR_FEAT_PAD = 2
 
-def prep_weights(params, dtype=jnp.bfloat16):
+
+def _model_of(params) -> str:
+    """The weight shapes define the feature map: 16-in/2-out is the
+    Schwarzschild net (models/neural.py), 22-in/3-out the Kerr net
+    (models/neural_kerr.py)."""
+    n_in = params[0][0].shape[0]
+    n_out = params[-1][0].shape[1]
+    if n_in == 16 and n_out == 2:
+        return "schwarzschild"
+    if n_in == 22 and n_out == 3:
+        return "kerr"
+    raise ValueError(
+        f"unrecognized surrogate shape: in={n_in}, out={n_out} (expected "
+        "16/2 Schwarzschild or 22/3 Kerr)"
+    )
+
+
+def prep_weights(params, dtype=jnp.bfloat16, feat_pad: int = 0):
     """MLP params -> kernel operand tuple.
 
     Per layer: W (in, out) -> W^T (out, in) in `dtype`; b -> (out, 1)
-    fp32. The 2-wide head pads its out dim to 8 sublanes (rows 2..7 are
-    zeros and ignored).
+    fp32. The 2/3-wide head pads its out dim to 8 sublanes (rows past
+    the real heads are zeros and ignored). `feat_pad` zero-pads the
+    first layer's IN dim to match a zero-row-padded feature matrix
+    (exact: zeros contribute exactly 0.0 to the accumulation).
     """
     out = []
     n = len(params)
     for i, (w, b) in enumerate(params):
         wt = jnp.asarray(w, jnp.float32).T
         bb = jnp.asarray(b, jnp.float32)[:, None]
+        if i == 0 and feat_pad:
+            wt = jnp.pad(wt, ((0, 0), (0, feat_pad)))
         if i == n - 1:
             pad = 8 - wt.shape[0]
             wt = jnp.pad(wt, ((0, pad), (0, 0)))
@@ -97,6 +124,7 @@ def _pack_params(camera: Camera, scene, row0=0) -> jnp.ndarray:
                 jnp.float32(scene.screen_width) / jnp.float32(scene.screen_height),
                 # fp32-exact for any frame below 2^24 pixels
                 jnp.asarray(row0, jnp.float32) * jnp.float32(scene.screen_width),
+                jnp.asarray(getattr(scene, "spin", 0.0), jnp.float32),
             ]
         ),
     ]
@@ -105,7 +133,8 @@ def _pack_params(camera: Camera, scene, row0=0) -> jnp.ndarray:
 
 
 def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
-                  emit: str = "frame"):
+                  emit: str = "frame", model: str = "schwarzschild",
+                  feat_pad: int = 0):
     """Kernel closure for an MLP with n_layers (W, b) pairs.
 
     emit="frame": star-shaded packed-u32 pixels (the headline path).
@@ -113,7 +142,14 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
     front half for TEXTURE configs, whose gather epilogue must run at the
     XLA level anyway (DESIGN.md section 3.1): the kernel replaces the
     staged path's materialized (N, 16) features and (N, width) activations
-    with four (H, W) output planes."""
+    with four (H, W) output planes.
+
+    model="kerr" assembles the 22-feature Kerr map + `feat_pad` zero rows
+    (models/neural_kerr.ray_features_kerr; the spin block reads the
+    per-frame camera-latitude scalar uy and the per-pixel w_hat/n_hat y
+    components), reads THREE head rows (delta, chi = frame-dragging tilt,
+    logit), applies the xi-shifted Kerr envelopes (kerr_envelopes — keep
+    in sync BY HAND, CLAUDE.md), and rotates out of the ray plane by chi."""
     from .starfield import procedural_background
 
     def kernel(params, *refs):
@@ -190,14 +226,34 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
             mu, c, s, q, (0.25 * rs) * ones, (0.25 * jnp.log(r0)) * ones,
             f_log, f_sign, s2, c2, s4, c4, s8, c8, s16, c16,
         )
+        if model == "kerr":
+            # spin block (models/neural_kerr.ray_features_kerr): uy is a
+            # per-frame scalar (camera latitude), w_hat/n_hat y-components
+            # are per-pixel planes; n_hat = u_hat x w_hat
+            spin = params[_P_SPIN]
+            nyp = uz * whx - ux * whz
+            xi = spin * nyp
+            bck = (5.19615242 - 2.5 * xi - 0.69615242 * xi * xi) * 0.5
+            tk = r0 * s / (bck * rs) - 1.0
+            f_log_k = 0.2 * jnp.log(jnp.abs(tk) + 1e-3)
+            f_sign_k = jnp.tanh(8.0 * tk)
+            feats = feats + (
+                spin * ones, xi, (spin * uy) * ones, spin * why,
+                f_log_k, f_sign_k,
+            )
+            if feat_pad:
+                zero = jnp.zeros((8, block_p), jnp.float32)
+                feats = feats + (zero,) * feat_pad
 
         # MLP chain per sublane row: pixels ride the lane dimension
         delta_rows = []
+        chi_rows = []
         logit_rows = []
+        logit_row = 2 if model == "kerr" else 1
         for r in range(8):
             f_r = jnp.concatenate(
                 [f[r : r + 1, :] for f in feats], axis=0
-            ).astype(dtype)  # (16, P)
+            ).astype(dtype)  # (n_feats + feat_pad, P)
             h = f_r
             for li in range(n_layers):
                 wt = wb[2 * li][:]
@@ -209,32 +265,51 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
                 if li < n_layers - 1:
                     h = jnp.tanh(o).astype(dtype)
                 else:
-                    h = o  # (8, P) fp32 head: row 0 coeff, row 1 logit
+                    h = o  # (8, P) fp32 head rows: coeff(s), then logit
             delta_rows.append(h[0:1, :])
-            logit_rows.append(h[1:2, :])
+            if model == "kerr":
+                chi_rows.append(h[1:2, :])
+            logit_rows.append(h[logit_row : logit_row + 1, :])
         delta = jnp.concatenate(delta_rows, axis=0)  # (8, P)
         logit = jnp.concatenate(logit_rows, axis=0)
 
         # envelope parameterization (models/neural.py feature_version 3):
         # the head emits an O(1) coefficient; the fp32 analytic envelope
-        # carries the deflection magnitude (t is the f_log feature's
-        # criticality coordinate, already on registers)
+        # carries the deflection magnitude (the criticality coordinate is
+        # already on registers: t for Schwarzschild, the xi-shifted tk for
+        # Kerr — models/neural_kerr.kerr_envelopes).
         # The sigmoid gate restricts the critical-b log spike to inbound
-        # rays — must match models/neural.delta_envelope exactly (tested
-        # in interpret parity).
-        spike = jnp.log1p(1.0 / (jnp.abs(t) + 2e-2)) * jax.nn.sigmoid(
+        # rays — must match the model module exactly (tested in interpret
+        # parity).
+        t_env = tk if model == "kerr" else t
+        spike = jnp.log1p(1.0 / (jnp.abs(t_env) + 2e-2)) * jax.nn.sigmoid(
             -8.0 * c
         )
-        delta = delta * ((rs / r0) * s * (0.25 + spike))
+        e_d = (rs / r0) * s * (0.25 + spike)
+        delta = delta * e_d
 
         # in-plane rotation by delta (angle addition — no arctan2)
         cd = jnp.cos(delta)
         sd = jnp.sin(delta)
         cos_phi = c * cd - s * sd
         sin_phi = s * cd + c * sd
-        vx = cos_phi * ux + sin_phi * whx
-        vy = cos_phi * uy + sin_phi * why
-        vz = cos_phi * uz + sin_phi * whz
+        if model == "kerr":
+            # out-of-plane frame-dragging tilt chi
+            # (models/neural_kerr.predict_directions_kerr)
+            chi = jnp.concatenate(chi_rows, axis=0) * (
+                e_d * (jnp.abs(spin) + 1e-3)
+            )
+            cc = jnp.cos(chi)
+            sc_ = jnp.sin(chi)
+            nxp = uy * whz - uz * why
+            nzp = ux * why - uy * whx
+            vx = (cc * cos_phi) * ux + (cc * sin_phi) * whx + sc_ * nxp
+            vy = (cc * cos_phi) * uy + (cc * sin_phi) * why + sc_ * nyp
+            vz = (cc * cos_phi) * uz + (cc * sin_phi) * whz + sc_ * nzp
+        else:
+            vx = cos_phi * ux + sin_phi * whx
+            vy = cos_phi * uy + sin_phi * why
+            vz = cos_phi * uz + sin_phi * whz
         vinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
         vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
 
@@ -270,16 +345,18 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "block_p", "seed", "interpret",
-                     "n_layers", "emit"),
+                     "n_layers", "emit", "model", "feat_pad"),
 )
 def _render(packed_params, weight_ops, *, height, width, block_p, seed,
-            interpret, n_layers, emit="frame"):
+            interpret, n_layers, emit="frame", model="schwarzschild",
+            feat_pad=0):
     """`height` here is the number of OUTPUT rows (a band or the full
     frame); the full-image dims ride in packed_params for ray-gen."""
     n = height * width
     per_block = 8 * block_p
     grid = -(-n // per_block)
-    kernel = _build_kernel(n_layers, block_p, seed, jnp.bfloat16, emit=emit)
+    kernel = _build_kernel(n_layers, block_p, seed, jnp.bfloat16, emit=emit,
+                           model=model, feat_pad=feat_pad)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     for op in weight_ops:
         in_specs.append(
@@ -333,10 +410,12 @@ def neural_render_packed(
     2.11 ms, optimum 4096; 3x256 net 1024/2048/4096 -> 4.38/4.34/4.90,
     optimum 2048).
     """
+    model = _model_of(params)
+    feat_pad = KERR_FEAT_PAD if model == "kerr" else 0
     if block_p is None:
         widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
         block_p = 4096 if widest <= 128 else 2048
-    weight_ops = prep_weights(params)
+    weight_ops = prep_weights(params, feat_pad=feat_pad)
     return _render(
         _pack_params(camera, scene),
         weight_ops,
@@ -346,6 +425,8 @@ def neural_render_packed(
         seed=seed,
         interpret=interpret,
         n_layers=len(params),
+        model=model,
+        feat_pad=feat_pad,
     )
 
 
@@ -368,10 +449,12 @@ def neural_trace_dirs(
     point)."""
     from .trace import STATUS_CAPTURED, STATUS_ESCAPED, TraceResult
 
+    model = _model_of(params)
+    feat_pad = KERR_FEAT_PAD if model == "kerr" else 0
     if block_p is None:
         widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
         block_p = 4096 if widest <= 128 else 2048
-    weight_ops = prep_weights(params)
+    weight_ops = prep_weights(params, feat_pad=feat_pad)
     h, w = scene.screen_height, scene.screen_width
     vx, vy, vz, cap = _render(
         _pack_params(camera, scene),
@@ -383,6 +466,8 @@ def neural_trace_dirs(
         interpret=interpret,
         n_layers=len(params),
         emit="dirs",
+        model=model,
+        feat_pad=feat_pad,
     )
     vel = jnp.stack([vx, vy, vz], axis=-1)
     status = jnp.where(
@@ -411,10 +496,12 @@ def neural_render_packed_band(
     """Band flavor for mesh-sharded rendering: rows [row0, row0 + band_h)
     of the full frame as packed u32 (band_h, W). `row0` may be traced
     (shard_map axis_index); UVs always reference the full image dims."""
+    model = _model_of(params)
+    feat_pad = KERR_FEAT_PAD if model == "kerr" else 0
     if block_p is None:
         widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
         block_p = 4096 if widest <= 128 else 2048
-    weight_ops = prep_weights(params)
+    weight_ops = prep_weights(params, feat_pad=feat_pad)
     return _render(
         _pack_params(camera, scene, row0=row0),
         weight_ops,
@@ -424,4 +511,6 @@ def neural_render_packed_band(
         seed=seed,
         interpret=interpret,
         n_layers=len(params),
+        model=model,
+        feat_pad=feat_pad,
     )

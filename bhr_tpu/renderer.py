@@ -167,8 +167,13 @@ def render_image(
         neural_shapes_ok = (
             neural_params is not None
             and len(neural_params) >= 2
-            and neural_params[0][0].shape[0] == 16  # N_FEATURES the kernel builds
-            and neural_params[-1][0].shape[1] == 2  # delta + capture head
+            # the kernel builds both feature maps: 16-in/2-out
+            # Schwarzschild and 22-in/3-out Kerr
+            # (ops/neural_pallas._model_of)
+            and (
+                (neural_params[0][0].shape[0], neural_params[-1][0].shape[1])
+                in ((16, 2), (22, 3))
+            )
             # Mosaic shapes compile-probed on the v5e for 128/256-wide
             # hidden layers (scripts/neural_kernel_probe.py); other widths
             # take the staged path until probed

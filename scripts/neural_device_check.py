@@ -8,9 +8,10 @@ matmul semantics (bf16 operands, fp32 accumulation):
 
   1. star-field config: monolithic kernel vs staged bf16 frame
   2. texture config: emit="dirs" kernel + gather epilogue vs staged
-  3. every committed asset loads and renders finite frames end-to-end
-     (Schwarzschild assets through the kernel; Kerr through the staged
-     path it ships on)
+  3. the same two agreements for the KERR kernel flavor (22-feature
+     map, 3-head, xi-shifted envelopes, out-of-plane chi rotation)
+  4. every committed asset loads and renders finite frames end-to-end
+     through its production path
 
 Pass criteria mirror the interpret-parity tests: >= 99% exactly equal
 pixels and <= 0.5% of pixels differing by more than 2 u8 (fp32
@@ -94,7 +95,39 @@ def main():
     ok &= compare("texture_dirs_vs_staged", kern_tex, staged_tex,
                   exact_min=0.97)
 
-    # 3. every committed asset renders finite frames on-device
+    # 3. Kerr kernel flavor: star + texture agreements on the chip
+    kerr_asset = ASSETS / "neural_kerr_default.npz"
+    if not kerr_asset.exists():
+        kerr_asset = ASSETS / "neural_kerr.npz"
+    kparams, _ = neural_kerr.load_params(str(kerr_asset))
+    ksc = scene.replace(spin=jnp.float32(0.9))
+    kernel_k = unpack_frame(neural_render_packed(kparams, cam, ksc))
+    staged_k = render_image(
+        cam, ksc, None, None, None,
+        config=TraceConfig(integrator="neural", model="kerr"),
+        use_pallas=False, tile=(8, 128), fast_math=True,
+        tonemap="passthrough", interpret=False, neural_params=kparams,
+        neural_dtype="bfloat16",
+    )
+    ok &= compare("kerr_starfield_kernel_vs_staged", kernel_k, staged_k)
+    kern_tex_k = render_image(
+        cam, ksc, skybox, None, None,
+        config=TraceConfig(integrator="neural", model="kerr"),
+        use_pallas=True, tile=(8, 128), fast_math=True,
+        tonemap="passthrough", interpret=False, neural_params=kparams,
+        neural_dtype="float32", texture_filter="nearest",
+    )
+    staged_tex_k = render_image(
+        cam, ksc, skybox, None, None,
+        config=TraceConfig(integrator="neural", model="kerr"),
+        use_pallas=False, tile=(8, 128), fast_math=True,
+        tonemap="passthrough", interpret=False, neural_params=kparams,
+        neural_dtype="bfloat16", texture_filter="nearest",
+    )
+    ok &= compare("kerr_texture_dirs_vs_staged", kern_tex_k, staged_tex_k,
+                  exact_min=0.97)
+
+    # 4. every committed asset renders finite frames on-device
     for path in sorted(ASSETS.glob("*.npz")):
         if path.name.startswith("neural_kerr"):
             p, _ = neural_kerr.load_params(str(path))
