@@ -58,7 +58,7 @@ import numpy as np
 
 from .neural import _BC_FACTOR, mlp_apply
 
-KERR_FEATURE_VERSION = 1
+KERR_FEATURE_VERSION = 2
 N_FEATURES_KERR = 22
 DEFAULT_HIDDEN_KERR = (256, 256, 256)
 
@@ -123,18 +123,58 @@ def load_params(path: str):
 
 
 def bc_factor_kerr(xi):
-    """Critical impact parameter over M as a function of prograde-ness xi.
+    """Critical impact parameter over rs as a function of xi = a* . ny.
 
-    Quadratic through the exact equatorial values b_c(-1) = 7M,
-    b_c(0) = 3 sqrt(3) M, b_c(+1) = 2M. Returned in the same units as
-    models/neural._BC_FACTOR (per rs = 2M): b_c / rs * 2... i.e. the
-    factor F with b_c = F * rs / 2 * 2 = F * rs? — see below: we return
-    b_c / rs so that b_c = factor * rs matches _BC_FACTOR's convention
-    (_BC_FACTOR = 3 sqrt(3) / 2 = b_c / rs at xi = 0).
+    The prograde sense: the Kerr-Schild axis mapping std(x,y,z) ->
+    (x,z,y) (models/kerr_schild.py docstring) is orientation-REVERSING,
+    so positive `spin` rotates LEFT-handed about +Y and rays with
+    ny < 0 are prograde — the prograde-ness is p = -xi. (Oracle-measured
+    in scripts/kerr_bc_probe.py: the capture boundary RISES with ny.)
+
+    Evaluates the exact equatorial GR formula
+        b_c(p) / M = -p + 6 cos(arccos(-p) / 3)
+    through a sqrt-factored polynomial (the derivative has a
+    sqrt(1 - p) singularity at extremal prograde):
+        b_c / M = 2 + sqrt(1 - p) * h(p),   h = deg-6 Chebyshev-derived
+    max fit error 2.5e-3 M on |p| <= 0.955 (the spin cap is 0.95) —
+    trig-free so the fused-kernel epilogue can mirror it exactly
+    (CLAUDE.md: keep inference trig-free). Returned as b_c / rs
+    (_BC_FACTOR convention: 3 sqrt(3) / 2 at p = 0).
+
+    History: round 4 used a 3-point quadratic with the prograde sense
+    FLIPPED — oracle-measured envelope error up to 4.6 M (~50 spike
+    widths), the Kerr surrogate's training-loss floor
+    (measurements/round5/kerr_bc_probe_oracle.jsonl).
     """
     xi = jnp.asarray(xi, jnp.float32)
-    # b_c / M, then / 2 for b_c / rs
-    return (5.19615242 - 2.5 * xi - 0.69615242 * xi * xi) * 0.5
+    p = -xi
+    h = 3.196512167 + p * (
+        -0.406504577 + p * (
+            -0.102461550 + p * (
+                -0.006447487 + p * (
+                    0.033141079 + p * (
+                        -0.081345290 + p * (-0.090476836)
+                    )
+                )
+            )
+        )
+    )
+    # b_c / M, then * 0.5 for b_c / rs; sqrt(1 - p) = sqrt(1 + xi)
+    return (2.0 + jnp.sqrt(jnp.maximum(1.0 + xi, 0.0)) * h) * 0.5
+
+
+def redshift_factor(r0, rs):
+    """sqrt(1 - rs/r0): relates the coordinate impact parameter
+    r0 sin(psi) to the conserved b = L/E for a ray launched at finite
+    r0 (static-frame factor; exact for Schwarzschild, leading-order in
+    Kerr). Folding it into the criticality coordinate moves the
+    envelope's divergence onto the oracle's measured capture boundary
+    (scripts/kerr_bc_probe.py: max residual 0.36 M at the default scene
+    vs 0.54 M without). Clamped away from 0 (the sampler floor is
+    r0 >= 1.6 rs where the factor is 0.61)."""
+    r0 = jnp.asarray(r0, jnp.float32)
+    rs = jnp.asarray(rs, jnp.float32)
+    return jnp.sqrt(jnp.maximum(1.0 - rs / r0, 0.04))
 
 
 def reduce_ray(origins, directions, bh_pos):
@@ -175,7 +215,8 @@ def ray_features_kerr(r0, rs, spin, c, s, uy, wy, ny):
     f_sign = jnp.tanh(8.0 * t)
     xi = spin * ny
     bck = bc_factor_kerr(xi)
-    tk = r0 * s / (bck * rs) - 1.0
+    red = redshift_factor(r0, rs)
+    tk = r0 * s / (bck * rs * red) - 1.0
     f_log_k = 0.2 * jnp.log(jnp.abs(tk) + 1e-3)
     f_sign_k = jnp.tanh(8.0 * tk)
     s2 = 2.0 * s * c
@@ -215,7 +256,8 @@ def kerr_envelopes(r0, rs, spin, s, c, ny):
     s = jnp.asarray(s, jnp.float32)
     c = jnp.asarray(c, jnp.float32)
     xi = spin * jnp.asarray(ny, jnp.float32)
-    tk = r0 * s / (bc_factor_kerr(xi) * rs) - 1.0
+    red = redshift_factor(r0, rs)
+    tk = r0 * s / (bc_factor_kerr(xi) * rs * red) - 1.0
     spike = jnp.log1p(1.0 / (jnp.abs(tk) + 2e-2)) * jax.nn.sigmoid(-8.0 * c)
     e = (rs / r0) * s * (0.25 + spike)
     return e, e * (jnp.abs(spin) + 1e-3)
@@ -260,16 +302,19 @@ def predict_directions_kerr(params, origins, directions, bh_pos, rs, spin,
 # training data (targets from the exact Kerr-Schild Hamiltonian oracle)
 
 
-def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
+def sample_rays_kerr(key, n: int, rs, *, spin=0.0, r_range=(3.0, 60.0),
                      boundary_frac=0.5, cth_range=(-1.0, 1.0),
                      psi_range=(0.0, float(np.pi))):
     """Sample full-3D rays: origin at polar angle theta0 from the spin
     axis (azimuth fixed by axisymmetry), direction at angle psi from the
     radial with uniform azimuth alpha around it. Returns (origins, dirs).
 
-    Boundary concentration uses the Schwarzschild critical angle; the
-    spin-shifted fold sits within |b_c(xi) - b_c| / r0 <= 0.35 sin_crit
-    of it, inside the 3 sin_crit sampling spread for every spin.
+    Boundary concentration is per-plane: each sample's azimuth alpha
+    fixes its ray-plane normal (ny = -sin(alpha) sin(theta0)), and the
+    critical angle is taken at that plane's own b_c(xi) (for a* = 0.9
+    the boundary spans 2.3-6.8 M across planes — a single
+    Schwarzschild-centered band wastes half the boundary budget;
+    scripts/kerr_bc_probe.py).
 
     `cth_range` restricts the origin polar angle (cos theta0 uniform in
     the band) — per-scene distillation narrows it to the camera's
@@ -280,6 +325,7 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
     sample density for per-scene distillation)."""
     k_r, k_th, k_psi, k_al, k_mix, k_off = jax.random.split(key, 6)
     rs = jnp.asarray(rs, jnp.float32)
+    spin = jnp.asarray(spin, jnp.float32)
     lo = jnp.maximum(jnp.float32(r_range[0]), 1.6 * rs)
     hi = jnp.float32(r_range[1])
     r0 = jnp.exp(
@@ -298,10 +344,17 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
         [cth, -sth, jnp.zeros_like(r0)], axis=-1
     )  # d(u)/d(theta): unit, orthogonal to u
     ez = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), ex.shape)
+    alpha = jax.random.uniform(k_al, (n,), jnp.float32, 0.0, 2.0 * jnp.pi)
     psi_uniform = jax.random.uniform(
         k_psi, (n,), jnp.float32, psi_range[0], psi_range[1]
     )
-    sin_crit = jnp.clip(_BC_FACTOR * rs / r0, 0.0, 1.0)
+    # plane normal y-component for this alpha: n = u x perp with
+    # u x ex = (0,0,-1), u x ez = (cth, -sth, 0) -> ny = -sin(alpha) sth
+    ny = -jnp.sin(alpha) * sth
+    sin_crit = jnp.clip(
+        bc_factor_kerr(spin * ny) * rs * redshift_factor(r0, rs) / r0,
+        0.0, 1.0,
+    )
     psi_crit = jnp.pi - jnp.arcsin(sin_crit)
     spread = jnp.clip(3.0 * sin_crit, 0.02, 0.25)
     psi_boundary = jnp.clip(
@@ -310,7 +363,6 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
     )
     use_b = jax.random.uniform(k_mix, (n,), jnp.float32) < boundary_frac
     psi = jnp.where(use_b, psi_boundary, psi_uniform)
-    alpha = jax.random.uniform(k_al, (n,), jnp.float32, 0.0, 2.0 * jnp.pi)
     perp = (
         jnp.cos(alpha)[..., None] * ex + jnp.sin(alpha)[..., None] * ez
     )
@@ -321,7 +373,9 @@ def sample_rays_kerr(key, n: int, rs, *, r_range=(3.0, 60.0),
 def make_dataset_kerr(key, n: int, *, max_steps: int = 500, dt: float = 0.1,
                       chunk: int = 1048576, r_range=(3.0, 60.0),
                       rs_range=(0.5, 4.0), spin_range=(0.0, 0.95),
-                      cth_range=(-1.0, 1.0), integrator: str = "euler"):
+                      cth_range=(-1.0, 1.0), boundary_frac=0.5,
+                      psi_range=(0.0, float(np.pi)),
+                      integrator: str = "euler"):
     """Trace n sampled rays with the exact Kerr-Schild oracle.
 
     Returns dict of (n,) fp32 arrays: r0, rs, spin, c, s, uy, wy, ny and
@@ -381,10 +435,11 @@ def make_dataset_kerr(key, n: int, *, max_steps: int = 500, dt: float = 0.1,
         )
         keys = jax.random.split(sub, groups)
         origins, dirs = jax.vmap(
-            lambda k, rs: sample_rays_kerr(
-                k, per, rs, r_range=r_range, cth_range=cth_range
+            lambda k, rs, sp: sample_rays_kerr(
+                k, per, rs, spin=sp, r_range=r_range, cth_range=cth_range,
+                boundary_frac=boundary_frac, psi_range=psi_range,
             )
-        )(keys, rs_g)
+        )(keys, rs_g, spin_g)
         block = np.asarray(stack_chunk(origins, dirs, rs_g, spin_g))
         for i, name in enumerate(names):
             outs[name].append(block[i])
@@ -403,8 +458,15 @@ class TrainResult:
     final_loss: float
 
 
-def loss_fn(params, batch):
-    """Direction loss on the full (au, aw, an) triple + capture BCE."""
+def loss_fn(params, batch, err_cap_chord2=None):
+    """Direction loss on the full (au, aw, an) triple + capture BCE.
+
+    `err_cap_chord2` saturates the per-sample squared chord error:
+    rays inside the critical fold's chaotic core have irreducibly wild
+    (delta, chi) targets, and without a cap they dominate the gradient
+    and buy their O(1) errors with mid-field precision (the round-4
+    distillation plateau). Capped samples still contribute gradient up
+    to the cap; the cap is OFF (None) for general-net training."""
     feats = ray_features_kerr(
         batch["r0"], batch["rs"], batch["spin"], batch["c"], batch["s"],
         batch["uy"], batch["wy"], batch["ny"],
@@ -425,6 +487,8 @@ def loss_fn(params, batch):
         + (cc * jnp.sin(phi) - batch["aw"]) ** 2
         + (sc - batch["an"]) ** 2
     )
+    if err_cap_chord2 is not None:
+        err = jnp.minimum(err, jnp.float32(err_cap_chord2))
     live = 1.0 - batch["captured"]
     dir_loss = jnp.sum(err * live) / jnp.maximum(jnp.sum(live), 1.0)
     cap_loss = jnp.mean(
@@ -436,9 +500,22 @@ def loss_fn(params, batch):
 
 
 def train(key, dataset, *, hidden=DEFAULT_HIDDEN_KERR, steps=40_000,
-          batch_size=16384, lr=3e-4, log_every=1000, warm_start=None):
-    """Adam training, fused lax.scan per log window (models/neural.train)."""
+          batch_size=16384, lr=3e-4, log_every=1000, warm_start=None,
+          err_cap_deg=None):
+    """Adam training, fused lax.scan per log window (models/neural.train).
+
+    `err_cap_deg` saturates the per-sample direction error at the
+    chord of that angle (see loss_fn) — used by per-scene distillation."""
+    import functools
+
     import optax
+
+    cap2 = (
+        float((2.0 * np.sin(np.radians(err_cap_deg) / 2.0)) ** 2)
+        if err_cap_deg is not None
+        else None
+    )
+    loss = functools.partial(loss_fn, err_cap_chord2=cap2)
 
     k_init, k_data = jax.random.split(key)
     params = warm_start if warm_start is not None else init_params(
@@ -457,10 +534,10 @@ def train(key, dataset, *, hidden=DEFAULT_HIDDEN_KERR, steps=40_000,
             params, opt_state = carry
             idx = jax.random.randint(k, (batch_size,), 0, n)
             batch = {key_: v[idx] for key_, v in data.items()}
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            loss_v, grads = jax.value_and_grad(loss)(params, batch)
             updates, opt_state = opt.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            return (params, opt_state), loss_v
 
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), keys
@@ -540,6 +617,9 @@ def distill_for_scene_kerr(
     lr: float = 1e-4,
     eval_rays: int = 131_072,
     integrator: str = "euler",
+    psi_range=None,
+    boundary_frac: float = 0.35,
+    err_cap_deg: float | None = 5.0,
 ):
     """Per-scene Kerr distillation (the Kerr analog of
     models/neural.distill_for_scene — GravLensX, the roadmap's cited
@@ -575,13 +655,15 @@ def distill_for_scene_kerr(
     common = dict(
         max_steps=max_steps, dt=dt, r_range=r_range, rs_range=rs_range,
         spin_range=spin_range, cth_range=(cth_lo, cth_hi),
+        boundary_frac=boundary_frac,
+        psi_range=psi_range or (0.0, float(np.pi)),
         integrator=integrator,
     )
     dataset = make_dataset_kerr(k_data, rays, **common)
     eval_set = make_dataset_kerr(k_eval, eval_rays, **common)
     result = train(
         k_fit, dataset, steps=steps, batch_size=batch_size, lr=lr,
-        warm_start=base_params,
+        warm_start=base_params, err_cap_deg=err_cap_deg,
     )
     metrics = evaluate(result.params, eval_set)
     metrics["final_loss"] = result.final_loss

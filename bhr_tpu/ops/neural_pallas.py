@@ -233,8 +233,29 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
             spin = params[_P_SPIN]
             nyp = uz * whx - ux * whz
             xi = spin * nyp
-            bck = (5.19615242 - 2.5 * xi - 0.69615242 * xi * xi) * 0.5
-            tk = r0 * s / (bck * rs) - 1.0
+            # mirrors models/neural_kerr.bc_factor_kerr (feature v2):
+            # prograde-ness p = -xi (the axis mapping is orientation-
+            # reversing), exact GR b_c via the sqrt-factored deg-6 fit,
+            # and the static-frame redshift factor in the criticality
+            # coordinate. Keep BIT-IDENTICAL to the model module — the
+            # interpret parity test checks this.
+            p_ = -xi
+            h_ = 3.196512167 + p_ * (
+                -0.406504577 + p_ * (
+                    -0.102461550 + p_ * (
+                        -0.006447487 + p_ * (
+                            0.033141079 + p_ * (
+                                -0.081345290 + p_ * (-0.090476836)
+                            )
+                        )
+                    )
+                )
+            )
+            bck = (
+                2.0 + jnp.sqrt(jnp.maximum(1.0 + xi, 0.0)) * h_
+            ) * 0.5
+            red = jnp.sqrt(jnp.maximum(1.0 - rs / r0, 0.04))
+            tk = r0 * s / (bck * rs * red) - 1.0
             f_log_k = 0.2 * jnp.log(jnp.abs(tk) + 1e-3)
             f_sign_k = jnp.tanh(8.0 * tk)
             feats = feats + (

@@ -847,7 +847,12 @@ class BlackHoleRenderer:
         The generality story of the Phase-5 surrogate (reference
         docs/ROADMAP.md:1217-1337): the general net covers the full
         (r0, rs) domain at star-field SSIM ~0.95; per-scene distilled
-        weights clear the roadmap's >0.99 bar. This makes distillation a
+        weights clear the roadmap's >0.99 bar on the orbit scene class
+        (recorded: 0.99414/0.99624, BENCHMARKS.md). On arbitrary scenes
+        the recorded off-orbit demo reaches 0.978
+        (measurements/round4/distill_demo.jsonl) — distillation closes
+        most, not provably all, of the general-net gap; gauge a new
+        scene with scripts/neural_quality.py. This makes distillation a
         first-class renderer operation instead of an offline pipeline:
         generate oracle rollouts on the scene's (r0, rs) manifold,
         fine-tune the current weights (width preserved, so the fused MXU
@@ -884,6 +889,41 @@ class BlackHoleRenderer:
             spin = float(np.asarray(scene.spin, np.float32))
             cth0 = float(rel[1] / max(r0, 1e-12))
             kw.setdefault("cth0", cth0)
+            if "psi_range" not in kw:
+                # Concentrate the direction sweep on the psi band this
+                # frame actually covers (psi = angle from the outward
+                # radial u_hat). Mirror the ray-gen formula
+                # (core/camera.generate_rays) on a coarse numpy grid —
+                # psi's extremes live on the image boundary or at the
+                # BH's projection — and pad by ~2 deg; if the BH
+                # projects inside the frame, psi_max is pi exactly.
+                ff = float(np.tan(float(np.asarray(scene.fov)) * 0.5))
+                aspect = float(scene.screen_width) / float(
+                    scene.screen_height
+                )
+                g = np.linspace(-1.0, 1.0, 49, dtype=np.float32)
+                uu, vv = np.meshgrid(g * aspect * ff, g * ff)
+                basis = np.stack(
+                    [
+                        np.asarray(camera.forward, np.float32),
+                        np.asarray(camera.right, np.float32),
+                        np.asarray(camera.up, np.float32),
+                    ]
+                )
+                d = (
+                    basis[0]
+                    + uu[..., None] * basis[1]
+                    + vv[..., None] * basis[2]
+                ).reshape(-1, 3)
+                d /= np.linalg.norm(d, axis=-1, keepdims=True)
+                u_hat = (rel / max(r0, 1e-12)).astype(np.float32)
+                psi = np.arccos(np.clip(d @ u_hat, -1.0, 1.0))
+                pad = float(np.radians(2.0))
+                p_lo = max(0.0, float(psi.min()) - pad)
+                p_hi = min(float(np.pi), float(psi.max()) + pad)
+                if p_hi > np.pi - 2.0 * pad:
+                    p_hi = float(np.pi)
+                kw["psi_range"] = (p_lo, p_hi)
             params, metrics, domain, spin_range = distill_for_scene_kerr(
                 seed, r0, rs, spin, base_params=self.neural_params,
                 rays=rays, steps=steps, **kw,

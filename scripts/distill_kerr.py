@@ -40,6 +40,15 @@ def main():
     ap.add_argument("--r-margin", type=float, default=1.3)
     ap.add_argument("--cth-margin", type=float, default=0.2)
     ap.add_argument("--eval-rays", type=int, default=131_072)
+    ap.add_argument("--frame-width", type=int, default=1920,
+                    help="target frame shape (sets the psi-band aspect)")
+    ap.add_argument("--frame-height", type=int, default=1080)
+    ap.add_argument("--boundary-frac", type=float, default=None,
+                    help="fraction of rays concentrated at the per-plane "
+                         "critical fold (default: the library's 0.35)")
+    ap.add_argument("--err-cap", type=float, default=None,
+                    help="per-sample direction-error cap in degrees "
+                         "(default: the library's 5.0)")
     ap.add_argument("--init", type=str, default="",
                     help="warm-start weights (default: the committed "
                          "general Kerr net)")
@@ -69,7 +78,15 @@ def main():
     kw = {}
     if args.init:
         kw["neural_params"] = args.init
-    r = BlackHoleRenderer(64, 48, integrator="neural", model="kerr", **kw)
+    # IMPORTANT: the scene's screen dims set the aspect ratio that
+    # renderer.distill's automatic psi-band narrowing derives the
+    # training band from — they must match the frames the asset will
+    # serve (a 4:3 dummy scene leaves 16:9 corner pixels ~2.6 deg
+    # outside the trained band; measured as the d1-d3 far-field floor).
+    r = BlackHoleRenderer(
+        args.frame_width, args.frame_height, integrator="neural",
+        model="kerr", **kw,
+    )
     scene = r.scene.replace(
         spin=jnp.float32(args.spin),
         schwarzschild_radius=jnp.float32(args.rs),
@@ -77,10 +94,15 @@ def main():
     print(f"device={jax.devices()[0]} rays={args.rays} steps={args.steps} "
           f"spin={args.spin} rs={args.rs}", flush=True)
     t0 = time.time()
+    extra = {}
+    if args.boundary_frac is not None:
+        extra["boundary_frac"] = args.boundary_frac
+    if args.err_cap is not None:
+        extra["err_cap_deg"] = args.err_cap
     metrics = r.distill(
         scene=scene, rays=args.rays, steps=args.steps, seed=args.seed,
         save=args.out, lr=args.lr, r_margin=args.r_margin,
-        cth_margin=args.cth_margin, eval_rays=args.eval_rays,
+        cth_margin=args.cth_margin, eval_rays=args.eval_rays, **extra,
     )
     rec = {
         "out": args.out,
