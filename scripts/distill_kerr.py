@@ -113,6 +113,9 @@ def main():
         "lr": args.lr,
         "r_margin": args.r_margin,
         "cth_margin": args.cth_margin,
+        "init": args.init or "general",
+        "boundary_frac": extra.get("boundary_frac", "lib-default-0.35"),
+        "err_cap_deg": extra.get("err_cap_deg", "lib-default-5.0"),
         "wall_s": round(time.time() - t0, 1),
         **{k: round(float(v), 6) for k, v in metrics.items()},
     }
