@@ -47,6 +47,7 @@ APP_MAX_STEPS = 200
         "kernel_knobs",
         "multires",
         "neural_dtype",
+        "neural_precision",
     ),
 )
 def render_frames_scan(
@@ -72,6 +73,7 @@ def render_frames_scan(
     multires=0,
     neural_params=None,
     neural_dtype="float32",
+    neural_precision="default",
 ):
     """Render frames at `times` (fp32[F]) in one fused lax.scan.
 
@@ -133,6 +135,7 @@ def render_frames_scan(
                 kernel_knobs=kernel_knobs,
                 neural_params=neural_params,
                 neural_dtype=neural_dtype,
+                neural_precision=neural_precision,
             )
         return carry, frame
 
@@ -194,6 +197,7 @@ class PathAnimator:
             multires=getattr(r, "multires", 0),
             neural_params=getattr(r, "neural_params", None),
             neural_dtype=getattr(r, "neural_dtype", "float32"),
+            neural_precision=getattr(r, "neural_precision", "default"),
             **self._scan_kwargs(),
         )
 

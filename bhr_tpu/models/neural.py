@@ -226,22 +226,40 @@ def delta_envelope(r0, rs, sin_psi, cos_psi):
     return (rs / r0) * sin_psi * (0.25 + spike)
 
 
-def mlp_apply(params, feats, *, dtype=jnp.float32):
+PRECISION_TIERS = {
+    "default": None,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def mlp_apply(params, feats, *, dtype=jnp.float32, precision=None):
     """Forward pass -> (..., 2): [delta, capture_logit].
 
     `dtype` selects the matmul element type; accumulation is always fp32
     via preferred_element_type and the nonlinearity runs in fp32.
 
-    Precision note (measured on v5e): matmuls run at XLA's DEFAULT
-    precision, which on TPU feeds the MXU single-pass bf16 inputs even
-    for fp32 arrays — so fp32 and bf16 dtypes produce bit-identical
-    TPU results, and bf16 is simply the faster layout (0.96 vs 1.41
-    ms/frame at 1080p; it halves the cast/VMEM traffic). Training runs
-    at the same precision, so the weights are NATIVE to bf16 matmul
-    rounding: forcing Precision.HIGHEST (true multi-pass fp32) was
-    measured strictly worse — 6.4x slower AND off the trained operating
-    point (1080p SSIM 0.934 vs 0.990) — and is deliberately not exposed.
+    Precision note (measured on v5e): at `precision=None` matmuls run at
+    XLA's DEFAULT precision, which on TPU feeds the MXU single-pass bf16
+    inputs even for fp32 arrays — so fp32 and bf16 dtypes produce
+    bit-identical TPU results, and bf16 is simply the faster layout
+    (0.96 vs 1.41 ms/frame at 1080p; it halves the cast/VMEM traffic).
+    `precision` must MATCH the precision the weights were trained at
+    (asset meta `train_precision`; renderer resolves it automatically):
+    bf16-trained weights are NATIVE to bf16 matmul rounding — forcing
+    Precision.HIGHEST on them was measured strictly worse, 6.4x slower
+    AND off the trained operating point (1080p SSIM 0.934 vs 0.990) —
+    while fp32-trained weights (round 5: the Kerr per-scene distill at
+    `--train-precision float32`) fit ~10x below the bf16 half-ulp floor
+    and NEED a multi-pass tier to serve it (bf16 single-pass inference
+    of the fp32-trained Kerr d6 net: SSIM 0.875 vs 0.944 native —
+    mismatched precision is worse than either matched pair).
+    `precision` accepts a lax.Precision or the tier strings in
+    PRECISION_TIERS ("high" = 3-pass bf16, ~fp32 quality at 3x cost;
+    "highest" = 6-pass).
     """
+    if isinstance(precision, str):
+        precision = PRECISION_TIERS[precision]
     x = feats.astype(dtype)
     for i, (w, b) in enumerate(params):
         x = (
@@ -249,6 +267,7 @@ def mlp_apply(params, feats, *, dtype=jnp.float32):
                 x,
                 w.astype(dtype),
                 (((x.ndim - 1,), (0,)), ((), ())),
+                precision=precision,
                 preferred_element_type=jnp.float32,
             )
             + b
@@ -258,19 +277,22 @@ def mlp_apply(params, feats, *, dtype=jnp.float32):
     return x.astype(jnp.float32)
 
 
-def predict_plane(params, r0, rs, cos_psi, sin_psi, *, dtype=jnp.float32):
+def predict_plane(params, r0, rs, cos_psi, sin_psi, *, dtype=jnp.float32,
+                  precision=None):
     """Reduced-coordinate prediction -> (delta, capture_prob).
 
     delta = envelope * head-coefficient (module docstring): the fp32
     envelope carries the deflection magnitude, the net the O(1) shape.
     """
-    out = mlp_apply(params, ray_features(r0, rs, cos_psi, sin_psi), dtype=dtype)
+    out = mlp_apply(params, ray_features(r0, rs, cos_psi, sin_psi),
+                    dtype=dtype, precision=precision)
     delta = delta_envelope(r0, rs, sin_psi, cos_psi) * out[..., 0]
     return delta, jax.nn.sigmoid(out[..., 1])
 
 
 def predict_directions(
-    params, origins, directions, bh_pos, rs, *, dtype=jnp.float32
+    params, origins, directions, bh_pos, rs, *, dtype=jnp.float32,
+    precision=None,
 ):
     """Full 3-D prediction: (final_vel unit (...,3), captured bool (...,)).
 
@@ -290,7 +312,8 @@ def predict_directions(
     # deflection, so the guarded w_hat contribution is multiplied by ~sin(psi)
     w_hat = w_vec / jnp.maximum(s_raw, 1e-12)[..., None]
     s = jnp.clip(s_raw, 0.0, 1.0)
-    delta, p_cap = predict_plane(params, r0, rs, c, s, dtype=dtype)
+    delta, p_cap = predict_plane(params, r0, rs, c, s, dtype=dtype,
+                                 precision=precision)
     # angle-addition instead of arctan2 + two trig evals:
     # cos(psi + delta) = c cos(delta) - s sin(delta), etc. — only the
     # predicted delta needs a real sin/cos pair

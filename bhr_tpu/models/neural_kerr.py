@@ -264,10 +264,10 @@ def kerr_envelopes(r0, rs, spin, s, c, ny):
 
 
 def predict_plane_kerr(params, r0, rs, spin, c, s, uy, wy, ny, *,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, precision=None):
     """Reduced-coordinate prediction -> (delta, chi, capture_prob)."""
     feats = ray_features_kerr(r0, rs, spin, c, s, uy, wy, ny)
-    out = mlp_apply(params, feats, dtype=dtype)
+    out = mlp_apply(params, feats, dtype=dtype, precision=precision)
     e_d, e_c = kerr_envelopes(r0, rs, spin, s, c, ny)
     return (
         e_d * out[..., 0],
@@ -277,12 +277,12 @@ def predict_plane_kerr(params, r0, rs, spin, c, s, uy, wy, ny, *,
 
 
 def predict_directions_kerr(params, origins, directions, bh_pos, rs, spin,
-                            *, dtype=jnp.float32):
+                            *, dtype=jnp.float32, precision=None):
     """Full 3-D prediction: (final unit direction (..., 3), captured)."""
     red = reduce_ray(origins, directions, bh_pos)
     delta, chi, p_cap = predict_plane_kerr(
         params, red["r0"], rs, spin, red["c"], red["s"],
-        red["uy"], red["wy"], red["ny"], dtype=dtype,
+        red["uy"], red["wy"], red["ny"], dtype=dtype, precision=precision,
     )
     c, s = red["c"], red["s"]
     cd, sd = jnp.cos(delta), jnp.sin(delta)

@@ -32,6 +32,7 @@ def neural_trace_image(
     scene,
     *,
     dtype=jnp.float32,
+    precision=None,
     row0=0,
     local_shape=None,
 ) -> TraceResult:
@@ -41,7 +42,9 @@ def neural_trace_image(
     (models/neural_kerr.py) — dispatched on the static input-feature
     width (16 Schwarzschild / 22 Kerr; spin then comes from the scene).
     `dtype` selects the matmul element type (fp32 default; bf16 for
-    maximum MXU rate). `row0` / `local_shape` render a row band of the
+    maximum MXU rate); `precision` the MXU pass count — it must match
+    the weights' training precision (models/neural.mlp_apply note;
+    "high"/"highest"/lax.Precision or None for single-pass bf16). `row0` / `local_shape` render a row band of the
     full image (mesh-sharded rendering, parallel/mesh.py) — UVs always
     reference the full frame.
     """
@@ -62,6 +65,7 @@ def neural_trace_image(
             scene.schwarzschild_radius,
             scene.spin,
             dtype=dtype,
+            precision=precision,
         )
     else:
         vel, captured = predict_directions(
@@ -71,6 +75,7 @@ def neural_trace_image(
             scene.black_hole_position,
             scene.schwarzschild_radius,
             dtype=dtype,
+            precision=precision,
         )
     vel = vel.reshape(h, w, 3)
     captured = captured.reshape(h, w)
@@ -88,5 +93,6 @@ def neural_trace_image(
 # standalone-jit flavor for callers outside a jit scope (e.g. the
 # Phase 4-4 deflection cache, which reshades a stored TraceResult)
 neural_trace_image_jit = jax.jit(
-    neural_trace_image, static_argnames=("dtype", "row0", "local_shape")
+    neural_trace_image,
+    static_argnames=("dtype", "precision", "row0", "local_shape"),
 )

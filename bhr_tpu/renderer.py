@@ -121,6 +121,7 @@ def _integrator_from_path(name: str) -> tuple[str, str]:
         "texture_subsample",
         "kernel_knobs",
         "neural_dtype",
+        "neural_precision",
     ),
 )
 def render_image(
@@ -143,6 +144,7 @@ def render_image(
     kernel_knobs: tuple = None,
     neural_params=None,
     neural_dtype: str = "float32",
+    neural_precision: str = "default",
 ):
     """Pure jittable frame pipeline.
 
@@ -186,6 +188,7 @@ def render_image(
             and tonemap == "passthrough"
             and scene.debug_mode == 0
             and neural_shapes_ok
+            and neural_precision == "default"
         ):
             # monolithic kernel: ray-gen -> features -> MXU MLP ->
             # rotation -> star shading -> packed u32, zero HBM
@@ -206,6 +209,7 @@ def render_image(
             and scene.debug_mode == 0
             and neural_shapes_ok
             and jnp.dtype(neural_dtype) == jnp.float32
+            and neural_precision == "default"
         ):
             # texture tiers: the same fused MXU kernel emits raw direction
             # planes + the capture mask (ops/neural_pallas.py emit="dirs"),
@@ -227,7 +231,9 @@ def render_image(
         from .ops.neural_trace import neural_trace_image
 
         result = neural_trace_image(
-            neural_params, camera, scene, dtype=jnp.dtype(neural_dtype)
+            neural_params, camera, scene, dtype=jnp.dtype(neural_dtype),
+            precision=None if neural_precision == "default"
+            else neural_precision,
         )
         return shade_image(
             result, camera, scene, skybox, disk_params, lut,
@@ -408,6 +414,7 @@ class BlackHoleRenderer:
         cache_deflection: bool = False,
         neural_params=None,
         neural_dtype: str = "float32",
+        neural_precision: str = "auto",
         custom_physics=None,
     ):
         self.context = context or TpuContext.new()
@@ -452,6 +459,15 @@ class BlackHoleRenderer:
         # disk/adaptive/debug
         self.neural_params = None
         self.neural_dtype = str(neural_dtype)
+        # inference matmul pass count; must match the weights' training
+        # precision (models/neural.mlp_apply precision note). "auto"
+        # resolves from the asset meta below; explicit values override.
+        if neural_precision not in ("auto", "default", "high", "highest"):
+            raise ValueError(
+                "neural_precision must be auto/default/high/highest, got "
+                f"{neural_precision!r}"
+            )
+        self.neural_precision = neural_precision
         if integ == "neural":
             neural_model = model or path_model
             if neural_model not in ("schwarzschild", "kerr"):
@@ -511,6 +527,21 @@ class BlackHoleRenderer:
                     self._neural_spin_range = tuple(
                         np.asarray(meta["spin_range"], np.float32)
                     )
+                if self.neural_precision == "auto":
+                    # bf16-trained weights (no train_precision meta, or
+                    # "default") are NATIVE to single-pass bf16 matmuls;
+                    # fp32-trained ones (round-5 Kerr distill) need a
+                    # multi-pass tier — "high" (3-pass bf16) carries
+                    # ~fp32 quality at half the "highest" cost.
+                    tp = str(meta.get("train_precision", "default"))
+                    self.neural_precision = (
+                        "high" if tp in ("float32", "highest", "high",
+                                         "tensorfloat32")
+                        else "default"
+                    )
+            if self.neural_precision == "auto":
+                # raw param pytree, no meta to consult
+                self.neural_precision = "default"
             self.neural_params = jax.device_put(
                 neural_params, self.context.device
             )
@@ -737,6 +768,7 @@ class BlackHoleRenderer:
             kernel_knobs=self.kernel_knobs,
             neural_params=self.neural_params,
             neural_dtype=self.neural_dtype,
+            neural_precision=self.neural_precision,
         )
         if timestamp_query is not None:
             frame.block_until_ready()
@@ -772,6 +804,8 @@ class BlackHoleRenderer:
                 result = neural_trace_image_jit(
                     self.neural_params, camera, scene,
                     dtype=jnp.dtype(self.neural_dtype),
+                    precision=None if self.neural_precision == "default"
+                    else self.neural_precision,
                 )
             elif self.use_pallas:
                 knobs = self.kernel_knobs or (64, 1, 1)
@@ -942,13 +976,23 @@ class BlackHoleRenderer:
             save_fn = save_params
         self.neural_params = jax.device_put(params, self.context.device)
         self._neural_domain = domain
+        # weights are native to the matmul precision they trained at
+        # (models/neural.mlp_apply precision note): record it so loaders
+        # can auto-select the matching inference tier.
+        tp = jax.config.jax_default_matmul_precision
+        tp = "default" if tp is None else str(tp)
+        self.neural_precision = (
+            "high" if tp in ("float32", "highest", "high", "tensorfloat32")
+            else "default"
+        )
         if save:
             save_fn(
                 str(save), params,
                 meta=dict(
                     r_range=domain[0], rs_range=domain[1],
                     max_steps=kw["max_steps"], train_rays=rays,
-                    train_steps=steps, **extra_meta, **metrics,
+                    train_steps=steps, train_precision=tp,
+                    **extra_meta, **metrics,
                 ),
             )
         return metrics

@@ -65,11 +65,21 @@ def _tile_candidates(width: int):
     return [{"tile": t, "early_exit_every": DEFAULT_EARLY_EXIT_EVERY} for t in tiles]
 
 
-def _knob_candidates(tile, max_steps: int, width: int = 0):
-    """Loop-structure variants on a fixed tile."""
+def _knob_candidates(tile, max_steps: int, width: int = 0,
+                     scratch_only: bool = False):
+    """Loop-structure variants on a fixed tile.
+
+    `scratch_only`: the config routes to the scratch-status kernel
+    (plugin physics / kerr_lt exact — ops/pallas_trace._use_stateless),
+    where turbo sub-stepping and flat-id ray-gen are stateless-flavor
+    features that silently alias to spc=1 / linear=False. Emitting those
+    variants would burn one remote compile + slope pair each (~40 s over
+    the tunnel) measuring the identical program, so the search collapses
+    to the axes the scratch kernel actually has: early_exit_every.
+    """
     cands = []
     # flat-id ray-gen pays when 2-D tiling pads the width
-    linears = (False, True) if width % tile[1] else (False,)
+    linears = (False, True) if (width % tile[1] and not scratch_only) else (False,)
     # early-exit cadences: off, the default, plus divisors of max_steps so
     # the turbo axis stays combinable (e.g. 500 % 64 != 0 locks the
     # default cadence to spc=1 — disk/kerr configs, where rays DO
@@ -78,8 +88,9 @@ def _knob_candidates(tile, max_steps: int, width: int = 0):
     for e in (25, 50, 100):
         if max_steps % e == 0 and e not in eees:
             eees.append(e)
+    spcs = (1,) if scratch_only else (1, 2, 4, 5, 10, 20, 25, 50)
     for eee in eees:
-        for spc in (1, 2, 4, 5, 10, 20, 25, 50):
+        for spc in spcs:
             if spc > 1 and max_steps % spc:
                 continue
             if spc > 1 and eee and (eee % spc or max_steps % eee):
@@ -246,6 +257,12 @@ def autotune(
                               fast_math=fast_math, config=config)
         return measure_fn(width, height, max_steps, cand)
 
+    from ..ops.pallas_trace import _use_stateless
+
+    scratch_only = config is not None and not _use_stateless(
+        config, False, fast_math
+    )
+
     if candidates is not None:
         best = _search(candidates, measure)
     else:
@@ -254,7 +271,8 @@ def autotune(
         # stage 2: loop knobs on the winning tile
         if best is not None:
             best = _search(
-                _knob_candidates(tuple(best["tile"]), max_steps, width),
+                _knob_candidates(tuple(best["tile"]), max_steps, width,
+                                 scratch_only=scratch_only),
                 measure, best,
             )
         # stage 3: the winning loop structure back across the other tiles —
@@ -269,7 +287,9 @@ def autotune(
                 # linear ray-gen's payoff is a per-tile property (it kills
                 # width-padding waste), so re-explore it per retried tile
                 # rather than pinning the stage-2 winner's setting
-                lin_opts = {False, bool(width % t["tile"][1])}
+                lin_opts = {False} if scratch_only else {
+                    False, bool(width % t["tile"][1])
+                }
                 for lin in sorted(lin_opts):
                     retries.append(
                         {**best, "tile": list(t["tile"]), "linear": lin}

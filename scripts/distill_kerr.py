@@ -60,12 +60,24 @@ def main():
                     help="append the metrics record to this jsonl")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--train-precision", default="default",
+                    choices=["default", "float32", "highest"],
+                    help="matmul precision for the whole distill process "
+                         "(dataset gen + training). The TPU's DEFAULT "
+                         "lowers fp32 matmuls to one bf16 MXU pass "
+                         "(~0.2%% relative half-ulp); the d5 residual is "
+                         "~0.2%% of local deflection in every band, so "
+                         "this flag discriminates a training-precision "
+                         "fit floor from a capacity one.")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.train_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.train_precision)
     import jax.numpy as jnp
 
     from bhr_tpu import BlackHoleRenderer
@@ -116,6 +128,7 @@ def main():
         "init": args.init or "general",
         "boundary_frac": extra.get("boundary_frac", "lib-default-0.35"),
         "err_cap_deg": extra.get("err_cap_deg", "lib-default-5.0"),
+        "train_precision": args.train_precision,
         "wall_s": round(time.time() - t0, 1),
         **{k: round(float(v), 6) for k, v in metrics.items()},
     }

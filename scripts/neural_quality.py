@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--precision", default="auto",
+                    choices=["auto", "default", "high", "highest"],
+                    help="inference matmul pass tier; 'auto' resolves "
+                         "from the asset's train_precision meta "
+                         "(models/neural.mlp_apply precision note)")
     ap.add_argument("--texture", action="store_true")
     ap.add_argument("--orbit", type=int, default=1,
                     help="aggregate over N orbit-camera frames")
@@ -102,7 +107,8 @@ def main():
     ref = BlackHoleRenderer(w, h, fast_math=True, model=args.model, **kw)
     net = BlackHoleRenderer(
         w, h, integrator="neural", model=args.model,
-        neural_dtype=args.dtype, neural_params=args.weights, **kw
+        neural_dtype=args.dtype, neural_params=args.weights,
+        neural_precision=args.precision, **kw
     )
     params, meta = load_params(args.weights)
 
@@ -167,7 +173,9 @@ def main():
                 scene.schwarzschild_radius, scene.spin, steps, cfg,
             )
         res_net = neural_trace_image_jit(
-            net.neural_params, cam, scene, dtype=jnp.dtype(args.dtype)
+            net.neural_params, cam, scene, dtype=jnp.dtype(args.dtype),
+            precision=None if net.neural_precision == "default"
+            else net.neural_precision,
         )
         cap_r = np.asarray(res_ref.status == STATUS_CAPTURED)
         cap_n = np.asarray(res_net.status == STATUS_CAPTURED)
@@ -223,7 +231,9 @@ def main():
                 + ("_kerr" if args.model == "kerr" else "")
                 + ("_texture" if args.texture else "")
                 + (f"_domain{args.domain}" if args.domain else "")
-                + (f"_{args.dtype}" if args.dtype != "float32" else ""),
+                + (f"_{args.dtype}" if args.dtype != "float32" else "")
+                + (f"_prec-{net.neural_precision}"
+                   if net.neural_precision != "default" else ""),
                 "frames": n_frames,
                 "ssim": round(float(np.mean(ssims)), 5),
                 "ssim_min": round(float(np.min(ssims)), 5),

@@ -368,3 +368,54 @@ def test_distill_requires_neural_integrator():
     r = BlackHoleRenderer(32, 32)
     with pytest.raises(ValueError, match="integrator='neural'"):
         r.distill(rays=1000, steps=10)
+
+
+def test_neural_precision_auto_resolution(tmp_path):
+    """Asset meta train_precision drives the renderer's inference tier
+    (round 5: fp32-trained weights need multi-pass matmuls — the d6
+    experiment measured SSIM 0.875 serving them single-pass bf16 vs
+    0.985 at precision=high; models/neural.mlp_apply precision note)."""
+    params = neural.init_params(jax.random.PRNGKey(3), (8, 8))
+    p_bf16 = tmp_path / "native.npz"
+    p_fp32 = tmp_path / "fp32.npz"
+    neural.save_params(str(p_bf16), params, meta=dict(max_steps=10))
+    neural.save_params(
+        str(p_fp32), params,
+        meta=dict(max_steps=10, train_precision="float32"),
+    )
+    r_native = BlackHoleRenderer(
+        32, 24, integrator="neural", neural_params=str(p_bf16)
+    )
+    assert r_native.neural_precision == "default"
+    r_fp32 = BlackHoleRenderer(
+        32, 24, integrator="neural", neural_params=str(p_fp32)
+    )
+    assert r_fp32.neural_precision == "high"
+    # explicit override beats auto
+    r_over = BlackHoleRenderer(
+        32, 24, integrator="neural", neural_params=str(p_fp32),
+        neural_precision="default",
+    )
+    assert r_over.neural_precision == "default"
+    with pytest.raises(ValueError, match="neural_precision"):
+        BlackHoleRenderer(
+            32, 24, integrator="neural", neural_params=str(p_fp32),
+            neural_precision="fp64",
+        )
+    # the staged path renders under every tier (precision is a matmul
+    # pass-count knob, not a semantic change; on CPU all tiers are fp32)
+    f_hi = r_fp32.render_frame()
+    f_def = r_over.render_frame()
+    np.testing.assert_array_equal(np.asarray(f_hi), np.asarray(f_def))
+
+
+def test_mlp_apply_precision_strings():
+    params = neural.init_params(jax.random.PRNGKey(4), (8,))
+    feats = jnp.ones((5, neural.N_FEATURES), jnp.float32)
+    base = neural.mlp_apply(params, feats)
+    for tier in ("default", "high", "highest"):
+        out = neural.mlp_apply(params, feats, precision=tier)
+        # CPU matmuls are true fp32 at every tier
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=1e-6, atol=1e-6
+        )
