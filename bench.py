@@ -33,7 +33,9 @@ BHR_BENCH_ORACLE=1 (XLA path), BHR_BENCH_TEXTURE=bilinear|nearest|luma
 (render against a 4K equirect texture skybox instead of the analytic star
 field — the reference's actual workload shape), BHR_BENCH_TEXSUB=
 2|checker, BHR_BENCH_MULTIRES=N, BHR_BENCH_MODEL/DISK/INTEGRATOR/
-ADAPTIVE/SPIN, BHR_BENCH_PLATFORM=cpu (force a backend; the env var
+ADAPTIVE/SPIN, BHR_BENCH_NEURAL_WEIGHTS/NEURAL_DTYPE/NEURAL_PRECISION
+(surrogate asset / matmul element type / MXU pass tier),
+BHR_BENCH_PLATFORM=cpu (force a backend; the env var
 JAX_PLATFORMS alone is overridden by the boot hook).
 """
 
@@ -143,6 +145,12 @@ def main():
             extra["neural_params"] = w_env
         extra["neural_dtype"] = os.environ.get(
             "BHR_BENCH_NEURAL_DTYPE", "float32"
+        )
+        # inference matmul pass tier (round 5): auto resolves from the
+        # asset's train_precision meta; default/high/highest override
+        # (models/neural.mlp_apply precision note)
+        extra["neural_precision"] = os.environ.get(
+            "BHR_BENCH_NEURAL_PRECISION", "auto"
         )
     if plugin:
         extra["custom_physics"] = plugin
@@ -269,6 +277,9 @@ def main():
         suffix += f"_{extra['neural_dtype']}"
     if adaptive:
         suffix += "_adaptive"
+    nprec = getattr(renderer, "neural_precision", "default")
+    if integrator == "neural" and nprec != "default":
+        suffix += f"_prec-{nprec}"
     print(
         json.dumps(
             {

@@ -134,7 +134,7 @@ def _pack_params(camera: Camera, scene, row0=0) -> jnp.ndarray:
 
 def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
                   emit: str = "frame", model: str = "schwarzschild",
-                  feat_pad: int = 0):
+                  feat_pad: int = 0, precision=None):
     """Kernel closure for an MLP with n_layers (W, b) pairs.
 
     emit="frame": star-shaded packed-u32 pixels (the headline path).
@@ -280,7 +280,8 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
                 wt = wb[2 * li][:]
                 bb = wb[2 * li + 1][:]
                 o = (
-                    jnp.dot(wt, h, preferred_element_type=jnp.float32)
+                    jnp.dot(wt, h, precision=precision,
+                            preferred_element_type=jnp.float32)
                     + bb
                 )
                 if li < n_layers - 1:
@@ -366,18 +367,24 @@ def _build_kernel(n_layers: int, block_p: int, seed: int, dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "block_p", "seed", "interpret",
-                     "n_layers", "emit", "model", "feat_pad"),
+                     "n_layers", "emit", "model", "feat_pad", "precision"),
 )
 def _render(packed_params, weight_ops, *, height, width, block_p, seed,
             interpret, n_layers, emit="frame", model="schwarzschild",
-            feat_pad=0):
+            feat_pad=0, precision=None):
     """`height` here is the number of OUTPUT rows (a band or the full
     frame); the full-image dims ride in packed_params for ray-gen."""
     n = height * width
     per_block = 8 * block_p
     grid = -(-n // per_block)
-    kernel = _build_kernel(n_layers, block_p, seed, jnp.bfloat16, emit=emit,
-                           model=model, feat_pad=feat_pad)
+    # precision="highest": fp32 operands + multi-pass MXU dots — the
+    # tier fp32-trained weights need (models/neural.mlp_apply precision
+    # note). Mosaic compiles HIGHEST but not HIGH
+    # (scripts/neural_precision_probe.py: rel err 1e-7 vs fp32 ref).
+    op_dtype = jnp.float32 if precision else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    kernel = _build_kernel(n_layers, block_p, seed, op_dtype, emit=emit,
+                           model=model, feat_pad=feat_pad, precision=prec)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     for op in weight_ops:
         in_specs.append(
@@ -419,6 +426,7 @@ def neural_render_packed(
     seed: int = 2020,
     block_p: int | None = None,
     interpret: bool = False,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Render one neural frame as a single fused kernel -> packed u32 (H, W).
 
@@ -436,7 +444,8 @@ def neural_render_packed(
     if block_p is None:
         widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
         block_p = 4096 if widest <= 128 else 2048
-    weight_ops = prep_weights(params, feat_pad=feat_pad)
+    wdtype = jnp.float32 if precision else jnp.bfloat16
+    weight_ops = prep_weights(params, dtype=wdtype, feat_pad=feat_pad)
     return _render(
         _pack_params(camera, scene),
         weight_ops,
@@ -448,6 +457,7 @@ def neural_render_packed(
         n_layers=len(params),
         model=model,
         feat_pad=feat_pad,
+        precision=precision,
     )
 
 
@@ -458,6 +468,7 @@ def neural_trace_dirs(
     *,
     block_p: int | None = None,
     interpret: bool = False,
+    precision: str | None = None,
 ):
     """Fused-kernel deflection field for TEXTURE configs -> TraceResult.
 
@@ -475,7 +486,8 @@ def neural_trace_dirs(
     if block_p is None:
         widest = max(w.shape[1] for w, _ in params[:-1]) if len(params) > 1 else 128
         block_p = 4096 if widest <= 128 else 2048
-    weight_ops = prep_weights(params, feat_pad=feat_pad)
+    wdtype = jnp.float32 if precision else jnp.bfloat16
+    weight_ops = prep_weights(params, dtype=wdtype, feat_pad=feat_pad)
     h, w = scene.screen_height, scene.screen_width
     vx, vy, vz, cap = _render(
         _pack_params(camera, scene),
@@ -489,6 +501,7 @@ def neural_trace_dirs(
         emit="dirs",
         model=model,
         feat_pad=feat_pad,
+        precision=precision,
     )
     vel = jnp.stack([vx, vy, vz], axis=-1)
     status = jnp.where(

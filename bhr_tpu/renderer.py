@@ -188,18 +188,23 @@ def render_image(
             and tonemap == "passthrough"
             and scene.debug_mode == 0
             and neural_shapes_ok
-            and neural_precision == "default"
+            and neural_precision in ("default", "highest")
         ):
             # monolithic kernel: ray-gen -> features -> MXU MLP ->
             # rotation -> star shading -> packed u32, zero HBM
             # intermediates (ops/neural_pallas.py; 1.75 vs the staged
-            # path's 5.4 ms sustained at 1080p). Matmul semantics match
-            # both staged dtypes (bf16 operands, fp32 accumulation ==
-            # XLA's DEFAULT fp32-on-TPU lowering).
+            # path's 5.4 ms sustained at 1080p). At precision="default"
+            # matmul semantics match both staged dtypes (bf16 operands,
+            # fp32 accumulation == XLA's DEFAULT fp32-on-TPU lowering);
+            # "highest" runs fp32 multi-pass dots for fp32-trained
+            # weights (Mosaic compiles HIGHEST but not the staged
+            # path's HIGH — scripts/neural_precision_probe.py).
             from .ops.neural_pallas import neural_render_packed
 
             frame = neural_render_packed(
-                neural_params, camera, scene, seed=seed
+                neural_params, camera, scene, seed=seed,
+                precision=None if neural_precision == "default"
+                else "highest",
             )
             return frame if packed else unpack_frame(frame)
         if (
@@ -209,7 +214,7 @@ def render_image(
             and scene.debug_mode == 0
             and neural_shapes_ok
             and jnp.dtype(neural_dtype) == jnp.float32
-            and neural_precision == "default"
+            and neural_precision in ("default", "highest")
         ):
             # texture tiers: the same fused MXU kernel emits raw direction
             # planes + the capture mask (ops/neural_pallas.py emit="dirs"),
@@ -221,7 +226,11 @@ def render_image(
             # fp32 accumulation == XLA's DEFAULT fp32-on-TPU lowering.)
             from .ops.neural_pallas import neural_trace_dirs
 
-            result = neural_trace_dirs(neural_params, camera, scene)
+            result = neural_trace_dirs(
+                neural_params, camera, scene,
+                precision=None if neural_precision == "default"
+                else "highest",
+            )
             return shade_image(
                 result, camera, scene, skybox, disk_params, lut,
                 tonemap=tonemap, seed=seed, packed=packed,

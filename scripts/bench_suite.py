@@ -137,12 +137,13 @@ SUITE = [
     ),
     (
         # round 5: the Kerr surrogate through the fused 22-feature/3-head
-        # monolithic kernel (ops/neural_pallas.py model="kerr")
+        # monolithic kernel (ops/neural_pallas.py model="kerr") at the
+        # bf16-native tier (the general net trains at default precision)
         "kerr_neural_fused",
         {
             "BHR_BENCH_INTEGRATOR": "neural",
             "BHR_BENCH_MODEL": "kerr",
-            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr_default.npz",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr.npz",
         },
         False,
     ),
@@ -154,8 +155,32 @@ SUITE = [
         {
             "BHR_BENCH_INTEGRATOR": "neural",
             "BHR_BENCH_MODEL": "kerr",
-            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr_default.npz",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr.npz",
             "BHR_BENCH_NEURAL_DTYPE": "bfloat16",
+        },
+        False,
+    ),
+    (
+        # round 5: the production 0.99-class path — the fp32-trained
+        # per-scene distilled asset served at its matched multi-pass
+        # tier (auto resolves staged HIGH from the train_precision meta)
+        "kerr_neural_distilled_high",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_MODEL": "kerr",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr_default.npz",
+        },
+        False,
+    ),
+    (
+        # round 5: same asset through the fused kernel's fp32
+        # multi-pass flavor (Mosaic HIGHEST dots)
+        "kerr_neural_distilled_kernel_highest",
+        {
+            "BHR_BENCH_INTEGRATOR": "neural",
+            "BHR_BENCH_MODEL": "kerr",
+            "BHR_BENCH_NEURAL_WEIGHTS": "bhr_tpu/assets/neural_kerr_default.npz",
+            "BHR_BENCH_NEURAL_PRECISION": "highest",
         },
         False,
     ),

@@ -434,3 +434,46 @@ class TestKerrFusedKernel:
         )
         assert frame.shape == (96, 128, 4)
         assert (frame[..., 3] == 255).all()
+
+
+def test_fused_kernel_highest_matches_staged_high(tmp_path):
+    """The precision-tier kernel flavor (fp32 operands + HIGHEST dots,
+    round 5) agrees with the staged HIGH path. In interpret mode both
+    are true fp32, so frames must match exactly; on the real TPU the
+    on-device gauge is scripts/neural_device_check.py."""
+    import numpy as np
+
+    from bhr_tpu import BlackHoleRenderer
+    from bhr_tpu.models import neural_kerr
+
+    params = neural_kerr.init_params(jax.random.PRNGKey(7), (128, 128))
+    path = tmp_path / "kerr_fp32.npz"
+    neural_kerr.save_params(
+        str(path), params,
+        meta=dict(max_steps=100, train_precision="float32"),
+    )
+    mk = dict(integrator="neural", model="kerr", neural_params=str(path))
+    r_auto = BlackHoleRenderer(64, 48, **mk)
+    assert r_auto.neural_precision == "high"  # auto from meta
+    r_hi = BlackHoleRenderer(64, 48, neural_precision="highest", **mk)
+    scene = r_hi.scene.replace(spin=jnp.float32(0.9))
+    f_staged = np.asarray(r_auto.render_frame(scene=scene))
+    f_stg_hi = np.asarray(r_hi.render_frame(scene=scene))
+    np.testing.assert_array_equal(f_stg_hi, f_staged)
+
+    # the kernel flavor itself (CPU renderers run interpret -> staged;
+    # call the kernel directly in interpret mode)
+    from bhr_tpu.ops.neural_pallas import neural_render_packed
+    from bhr_tpu.ops.sampling import unpack_frame
+
+    packed = neural_render_packed(
+        r_hi.neural_params, r_hi.camera, scene, interpret=True,
+        precision="highest",
+    )
+    f_kernel = np.asarray(unpack_frame(packed)).astype(np.int32)
+    diff = np.abs(f_kernel - f_staged.astype(np.int32)).max(-1)
+    # fp32 op-ordering differences between the kernel's plane math and
+    # the staged path amplify at the critical fold (same convention as
+    # test_neural.test_monolithic_kernel_matches_staged_bf16)
+    assert (diff == 0).mean() > 0.999
+    assert (diff > 2).mean() < 1e-3

@@ -74,7 +74,7 @@ def test_bench_suite_listing_and_compare(tmp_path, capsys):
         "BHR_BENCH_INTEGRATOR", "BHR_BENCH_ADAPTIVE", "BHR_BENCH_SPIN",
         "BHR_BENCH_PLATFORM", "BHR_BENCH_ORACLE",
         "BHR_BENCH_NEURAL_WEIGHTS", "BHR_BENCH_NEURAL_DTYPE",
-        "BHR_BENCH_PLUGIN",
+        "BHR_BENCH_NEURAL_PRECISION", "BHR_BENCH_PLUGIN",
     }
     names = set()
     for name, overrides, _quick in bench_suite.SUITE:
